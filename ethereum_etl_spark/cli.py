@@ -1,0 +1,130 @@
+"""CLI entry points — the spark-submit surface.
+
+Reference analogs: ``python -m src.clis.historical`` (args at
+src/clis/historical.py:22-32) and ``python -m src.clis.realtime_ws``.
+Ship the package with::
+
+    spark-submit --py-files ethereum_etl_spark.zip -m ethereum_etl_spark.cli ...
+
+Subcommands:
+  gen       — synthesize a deterministic WAL        (walgen)
+  apply     — historical replay: run all pending epochs  (§3.1 analog)
+  tail      — realtime: poll the WAL dir and apply new epochs (§3.2 analog)
+  show      — print table state / ledger / lineage summaries
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_engine_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--wal", required=True, help="WAL parquet directory")
+    p.add_argument("--table", required=True, help="SnapshotTable root directory")
+    p.add_argument("--epoch-size", type=int, default=50_000)
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--lww-method", default="auto", choices=["auto", "agg", "salted", "window"])
+    p.add_argument("--n-salt", type=int, default=16)
+    p.add_argument("--cores", type=int, default=None)
+
+
+def _build_engine(args):
+    from ethereum_etl_spark.plans.engine import CDCEngine, EngineConfig
+    from ethereum_etl_spark.session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    cfg = EngineConfig(
+        epoch_size=args.epoch_size,
+        n_buckets=args.n_buckets,
+        lww_method=args.lww_method,
+        n_salt=args.n_salt,
+    )
+    return CDCEngine(spark, args.wal, args.table, config=cfg)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ethereum_etl_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic synthetic WAL")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-events", type=int, default=100_000)
+    g.add_argument("--n-urls", type=int, default=20_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--hot-frac", type=float, default=0.0)
+    g.add_argument("--ooo-frac", type=float, default=0.1)
+    g.add_argument("--n-files", type=int, default=32)
+    g.add_argument("--cores", type=int, default=None)
+
+    a = sub.add_parser("apply", help="historical replay (all pending epochs)")
+    _add_engine_args(a)
+
+    t = sub.add_parser("tail", help="poll WAL dir, apply new epochs")
+    _add_engine_args(t)
+    t.add_argument("--poll-interval", type=float, default=1.0)
+    t.add_argument("--max-polls", type=int, default=None)
+
+    s = sub.add_parser("show", help="table / ledger summary")
+    _add_engine_args(s)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen":
+        from ethereum_etl_spark.session import get_spark
+        from ethereum_etl_spark.sources.walgen import WalConfig, gen_wal, write_wal
+
+        spark = get_spark(cores=args.cores)
+        cfg = WalConfig(
+            n_events=args.n_events, n_urls=args.n_urls, seed=args.seed,
+            hot_frac=args.hot_frac, ooo_frac=args.ooo_frac,
+        )
+        write_wal(gen_wal(spark, cfg), args.out, n_files=args.n_files)
+        print(json.dumps({"written": args.out, "n_events": args.n_events}))
+        return 0
+
+    engine = _build_engine(args)
+
+    if args.cmd == "apply":
+        t0 = time.time()
+        results = engine.run()
+        n = sum(r.n_events for r in results)
+        dt = time.time() - t0
+        print(json.dumps({
+            "epochs": len(results), "events": n,
+            "events_per_sec": round(n / dt, 1) if dt > 0 else None,
+            "high_watermark": engine.table.high_watermark(),
+        }))
+        return 0
+
+    if args.cmd == "tail":
+        from ethereum_etl_spark.streaming.tailer import tail
+
+        results = tail(
+            engine, poll_interval_s=args.poll_interval, max_polls=args.max_polls,
+            on_epoch=lambda r: print(
+                json.dumps({"epoch": r.epoch_id, "events": r.n_events, "snapshot": r.snapshot_id})
+            ),
+        )
+        print(json.dumps({"epochs": len(results)}))
+        return 0
+
+    if args.cmd == "show":
+        snap = engine.table.current_snapshot()
+        df = engine.read_table()
+        print(json.dumps({
+            "snapshot": snap.snapshot_id if snap else None,
+            "schema_version": snap.schema_version if snap else None,
+            "files": len(snap.files) if snap else 0,
+            "rows": df.count() if df is not None else 0,
+            "high_watermark": engine.table.high_watermark(),
+            "epochs_committed": len(engine.table.committed_epochs()),
+        }))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

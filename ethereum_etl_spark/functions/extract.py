@@ -1,0 +1,128 @@
+"""html → text extraction: the engine's decode hot path.
+
+Reference analog: ABI decode of packed binary payloads
+(src/abis/event.py:165-194, eth_abi.decode at :190) and ABI string decode
+(src/tasks/extract/token.py:26-35) — CPU-bound byte-level decoding in the
+middle of the pipeline. Here the payload is Common-Crawl-style html bytes
+and the decode is tag-strip + entity-unescape + whitespace-normalize.
+
+Two implementations, ONE pattern table:
+
+- ``extract_text`` — pure-Python reference twin (the per-row oracle).
+- ``extract_text_udf`` — Arrow-vectorized pandas UDF applying the *same*
+  compiled patterns via ``Series.str.replace`` in the *same* order.
+
+Because both walk the identical (pattern, replacement) list, outputs are
+byte-identical per url — asserted in tests/test_extract.py. Determinism
+policy: no locale, no randomness; whitespace collapses to single spaces
+and the result is stripped.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# (compiled_regex, replacement) — applied strictly in order.
+_REGEX_STEPS: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL), ""),
+    (re.compile(r"<!--.*?-->", re.DOTALL), ""),
+    (re.compile(r"<[^>]*>"), " "),
+]
+
+# literal entity replacements — applied in order, &amp; last so that
+# double-escaped sequences are not double-unescaped.
+_ENTITY_STEPS: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&copy;", "©"),
+    ("&amp;", "&"),
+]
+
+_WS = re.compile(r"\s+")
+
+
+def extract_text(html: bytes | None) -> str | None:
+    """Pure-Python reference extractor (the byte-identical oracle)."""
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    for pat, repl in _REGEX_STEPS:
+        s = pat.sub(repl, s)
+    for lit, repl in _ENTITY_STEPS:
+        s = s.replace(lit, repl)
+    return _WS.sub(" ", s).strip()
+
+
+def _extract_series(html: pd.Series) -> pd.Series:
+    """Vectorized twin: same steps, same order, pandas str ops."""
+    s = html.str.decode("utf-8", errors="replace")
+    for pat, repl in _REGEX_STEPS:
+        s = s.str.replace(pat, repl, regex=True)
+    for lit, repl in _ENTITY_STEPS:
+        s = s.str.replace(lit, repl, regex=False)
+    return s.str.replace(_WS, " ", regex=True).str.strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return _extract_series(html)
+
+
+def with_text(df, html_col: str = "html", out_col: str = "text"):
+    """Attach the extracted-text column (Arrow batch transfer only)."""
+    return df.withColumn(out_col, extract_text_udf(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic language heuristic (stopword-count n-gram scoring)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "pour", "que", "dans", "une"),
+    "es": ("el", "la", "los", "que", "y", "en", "es", "por", "con"),
+    "vi": ("của", "và", "là", "có", "trong", "không", "được", "người"),
+}
+
+_LANG_PATTERNS = {
+    lang: re.compile(r"\b(?:" + "|".join(map(re.escape, words)) + r")\b", re.IGNORECASE)
+    for lang, words in _LANG_STOPWORDS.items()
+}
+
+#: deterministic tie-break / fallback order
+_LANG_ORDER = tuple(sorted(_LANG_STOPWORDS))
+
+
+def detect_lang(text: str | None) -> str | None:
+    """Pure-Python reference language heuristic."""
+    if text is None:
+        return None
+    best, best_n = "und", 0
+    for lang in _LANG_ORDER:
+        n = len(_LANG_PATTERNS[lang].findall(text))
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
+@F.pandas_udf(T.StringType())
+def detect_lang_udf(text: pd.Series) -> pd.Series:
+    counts = pd.DataFrame(
+        {lang: text.str.count(_LANG_PATTERNS[lang]) for lang in _LANG_ORDER}
+    )
+    best = counts.idxmax(axis=1)  # ties → first alphabetically = _LANG_ORDER
+    best = best.where(counts.max(axis=1) > 0, "und")
+    return best.where(text.notna(), None)
+
+
+def with_lang(df, text_col: str = "text", out_col: str = "lang") -> "Column":
+    return df.withColumn(out_col, detect_lang_udf(F.col(text_col)))

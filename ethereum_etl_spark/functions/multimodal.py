@@ -1,0 +1,175 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns with typed metadata structs —
+the same posture the CDC engine takes toward ``html`` — and implements
+the Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
+signatures, partition sizing) for decode / feature-extract / resize /
+frame-sample stages.
+
+The actual codec work is STUBBED: image/audio libraries are not in this
+container, so each stage either raises ``NotImplementedError`` (when
+``strict=True``) or produces a clearly-marked deterministic fake derived
+from the bytes (default) so the distributed plumbing is testable
+end-to-end. Swapping in a real decoder is a one-function change — the
+batch iterator contract (`Iterator[pd.DataFrame] → Iterator[pd.DataFrame]`)
+is exactly what PIL/torchaudio-based decoders consume.
+
+Scale notes: media bytes are the dominant mass, so every stage is
+``mapInPandas`` (no shuffle, Arrow batches) and metadata-only outputs
+DROP the payload column as early as possible (column pruning does the
+rest). Batch size is bounded via spark.sql.execution.arrow.
+maxRecordsPerBatch to keep executor memory flat.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: media rows: opaque payload + typed metadata (FIXTURES-style)
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, mime string, byte_len long, sha256 string, "
+    "width int, height int, feature array<float>"
+)
+
+FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_ts_ms long, frame_bytes binary"
+
+
+def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake of image dimension decode (STUB for PIL)."""
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 1984, 64 + h[1] % 1016
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake of an image-embedding model (STUB)."""
+    h = hashlib.sha256(payload).digest()
+    return [round(b / 255.0, 6) for b in h[:dim]]
+
+
+def image_features(df: DataFrame, strict: bool = False, feature_dim: int = 8) -> DataFrame:
+    """decode + feature-extract stage: media rows → per-image features.
+
+    Real implementation would call PIL/torchvision inside the batch loop;
+    the Arrow plumbing (batch iterator, schema, payload pruning) is real.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError("image decoder not available in this container")
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = payloads.map(lambda b: _fake_decode_dims(bytes(b)) if b is not None else (None, None))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "byte_len": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
+                    ),
+                    "width": dims.map(lambda d: d[0]),
+                    "height": dims.map(lambda d: d[1]),
+                    "feature": payloads.map(
+                        lambda b: _fake_feature(bytes(b), feature_dim) if b is not None else None
+                    ),
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
+    """video frame-sample stage: one row per sampled frame.
+
+    STUB decode: frame bytes are a deterministic slice-hash of the
+    payload; a real ffmpeg/pyav decoder drops into the same loop.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError("video decoder not available in this container")
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["payload"] is None or r["meta"] is None:
+                    continue
+                dur = r["meta"]["duration_ms"] or 0
+                payload = bytes(r["payload"])
+                for i, ts in enumerate(range(0, int(dur), every_ms)):
+                    fake = hashlib.sha256(payload + ts.to_bytes(8, "little")).digest()
+                    rows.append(
+                        {"media_id": r["media_id"], "frame_idx": i, "frame_ts_ms": ts, "frame_bytes": fake}
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_bytes"])
+
+    return df.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_px: int = 256, strict: bool = False) -> DataFrame:
+    """resize stage: payload → payload (STUB: truncated-hash bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError("image decoder not available in this container")
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(
+                lambda b: hashlib.sha256(bytes(b)).digest() * (max_px // 16)
+                if b is not None
+                else None
+            )
+            yield out
+
+    return df.filter(F.col("kind") == "image").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (JVM-side exprs, same pattern
+    as walgen) for testing the plumbing."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    r = lambda salt, n_: F.pmod(F.xxhash64(F.col("media_id"), F.lit(seed), F.lit(salt)), F.lit(n_))
+    df = spark.range(n).withColumnRenamed("id", "media_id")
+    kind = F.element_at(kinds, (r("kind", 3) + 1).cast("int"))
+    payload = F.encode(
+        F.concat(F.lit("MEDIA:"), F.col("media_id").cast("string"), F.lit(":"), F.repeat(F.lit("x"), (r("len", 200) + 32).cast("int"))),
+        "UTF-8",
+    )
+    return df.select(
+        "media_id",
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.concat(F.lit("application/"), kind).alias("mime"),
+        F.struct(
+            (r("w", 1920) + 1).cast("int").alias("width"),
+            (r("h", 1080) + 1).cast("int").alias("height"),
+            (r("d", 10_000) + 1000).cast("long").alias("duration_ms"),
+            F.lit(44100).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )

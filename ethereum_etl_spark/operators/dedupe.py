@@ -1,0 +1,347 @@
+"""Document deduplication operators (exact + near-dup families).
+
+The reference's only dedup is key-based (`set()` before RPC —
+src/tasks/extract/account.py:23 — and PK upserts at the sink); a
+web-scale training-data pipeline additionally needs *content* dedup.
+All operators below are Spark-first: JVM-side expressions for hashing
+and signatures (whole-stage codegen), shuffles only on small keys
+(hashes/bands), payload columns never shuffled.
+
+- exact_dedup          — content-hash groupBy (keep canonical doc)
+- ngram_jaccard_pairs  — exact Jaccard over word-shingle sets (the
+                         verifier; quadratic within candidate buckets)
+- minhash_lsh_pairs    — MinHash signatures + banded LSH bucketing →
+                         candidate pairs → exact-Jaccard verify
+- simhash64            — 64-bit SimHash + hamming-radius pairing
+- embedding_near_dup   — cosine-similarity near-dup over embeddings
+
+Scale notes: LSH bands shuffle (band_id, band_hash, doc_id) — 24 bytes
+a row regardless of document size. Candidate verification re-joins
+shingle sets only for the (tiny) candidate set. This is the standard
+Common-Crawl-dedup shape (cf. Lee et al., "Deduplicating Training Data
+Makes Language Models Better").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.functions.textstats import rolling_shingle_fingerprints
+
+# Mersenne prime for the universal-hash family h_i(x) = (a_i*x + b_i) mod p.
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct content hash; canonical = min id.
+
+    Hash-groupBy on xxhash64(text): the shuffle carries (hash, id) pairs
+    only; the winning rows' payloads are fetched by a semi-join — same
+    payload-light pattern as the LWW engine.
+    """
+    hashed = df.withColumn("__h", F.xxhash64(F.col(text_col)))
+    keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, on=["__h", id_col], how="inner").drop("__h")
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(content hash, group size, canonical id) for groups with dups."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("content_hash"))
+        .agg(F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle/Jaccard machinery
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", shingle_len: int = 5
+) -> DataFrame:
+    return df.withColumn(
+        "shingles",
+        F.array_distinct(rolling_shingle_fingerprints(text_col, shingle_len)),
+    )
+
+
+def _jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs exact Jaccard ≥ threshold (id_a < id_b).
+
+    Quadratic — the *oracle* / verifier path for small corpora; at scale
+    use minhash_lsh_pairs which calls this only within LSH buckets.
+    """
+    s = with_shingles(df, text_col, shingle_len).select(
+        F.col(id_col), F.col("shingles")
+    )
+    a = s.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def _hash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash params (a odd, nonzero)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE) | 1, rng.randrange(0, _MERSENNE))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_signature(
+    shingles_col, n_hashes: int = 64, seed: int = 7
+):
+    """Array<long> MinHash signature — all JVM-side.
+
+    For each hash fn i: min over shingle hashes h of (a_i*h + b_i) mod p.
+    """
+    params = _hash_params(n_hashes, seed)
+    cols = [
+        F.array_min(
+            F.transform(
+                shingles_col,
+                lambda h: F.pmod(
+                    F.lit(a) * F.pmod(h.cast("decimal(38,0)"), F.lit(_MERSENNE))
+                    + F.lit(b),
+                    F.lit(_MERSENNE),
+                ).cast("long"),
+            )
+        )
+        for a, b in params
+    ]
+    return F.array(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact Jaccard.
+
+    Pipeline: shingles → signature (n_hashes) → split into n_bands bands
+    of n_hashes/n_bands rows → band bucket key = xxhash64(band slice) →
+    self-join per (band, bucket) → distinct candidate pairs → exact
+    Jaccard over shingle sets ≥ threshold.
+
+    Shuffle profile: explode emits n_bands rows/doc of (band, bucket,
+    id) — constant width. Payload (shingle sets) joins back only for
+    candidates.
+    """
+    rows_per_band = n_hashes // n_bands
+    s = with_shingles(df, text_col, shingle_len).select(
+        F.col(id_col).alias("id"), "shingles"
+    )
+    s = s.withColumn("sig", minhash_signature(F.col("shingles"), n_hashes, seed))
+    bands = s.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            )
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    left = bands.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
+    right = bands.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
+    candidates = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = s.select(F.col("id"), F.col("shingles"))
+    verified = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: keep the min-id representative per pair
+    cluster (greedy union via iterative min propagation is overkill for
+    pair-sparse corpora; we drop any id that appears as id_b of a pair
+    whose id_a survives — standard single-pass LSH dedup)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col="text"):
+    """64-bit SimHash over word tokens — pure JVM expression.
+
+    bit_j(doc) = sign( Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1) ).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(F.lower(c), r"\W+"), lambda w: w != "")
+    # accumulate per-bit counters: acc[j] += tokenbit_j ? 1 : -1
+    acc = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda a, w: F.zip_with(
+            a,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.when(
+                    F.shiftright(F.xxhash64(w), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # fold sign bits into one long
+    return F.aggregate(
+        F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s.bitwiseXOR(x),
+    ).alias("simhash")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Blocked self-join: split the 64-bit hash into (max_hamming+1) chunks;
+    by pigeonhole two hashes within the radius share ≥1 exact chunk, so
+    the join key is (chunk_idx, chunk_value) — no quadratic blowup.
+    """
+    n_chunks = max_hamming + 1
+    bits = 64 // n_chunks
+    h = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    chunks = h.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.shiftright(F.col("sh"), i * bits)
+                    .bitwiseAND(F.lit((1 << bits) - 1))
+                    .alias("chunk_val"),
+                ),
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.chunk_idx", "c.chunk_val")
+    a = chunks.select("chunk_idx", "chunk_val", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = chunks.select("chunk_idx", "chunk_val", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda s, x: s + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0).cast("double"), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (brute force; LSH variant in
+    operators/similarity.py handles scale)."""
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,125 @@
+"""Last-writer-wins dedup — the engine's central aggregation.
+
+Reference semantics being reproduced (SURVEY.md A6): ClickHouse
+``ReplacingMergeTree(updated_time)`` keeps the max-version row per key
+(src/repositories/clickhouse/event.py:76-78) and SQLite ``INSERT OR
+REPLACE`` keeps the last insert per primary key
+(src/repositories/sqlite/base.py:159-171). Our version order is
+``(warc_ts, seq)`` — event time, ties broken by WAL offset for
+determinism (the reference restores deterministic order the same way:
+responses re-sorted by request id, src/clients/rpc_client.py:112).
+
+Three physical strategies for one logical operator:
+
+- ``lww_window``   — ``row_number() OVER (PARTITION BY key ORDER BY ver
+                     DESC)``. Simple; shuffles FULL rows (html payload
+                     included) and sorts per key. Fine for small rows.
+- ``lww_agg``      — ``max(struct(ver..., op))`` per key, then a payload
+                     re-join on ``(key, seq)``. The struct agg gets
+                     map-side partial aggregation (a per-key running max
+                     combines before the shuffle), so only tiny
+                     (key, ver) tuples cross the wire — the html payload
+                     is fetched back by a semi-join of winners against
+                     the source, broadcast when winners are small. This
+                     is the 100 TB path: payload bytes never shuffle.
+- ``lww_salted``   — two-phase variant for hot keys: phase 1 aggregates
+                     per ``(key, salt)`` where ``salt = xxhash64(seq) % k``
+                     spreads one hot key over k reducers; phase 2
+                     collapses the ≤k survivors per key. Equivalent by
+                     construction (max is associative/commutative);
+                     asserted in tests/test_lww.py.
+
+All variants return one row per key with the WINNING event's columns
+(including ``op`` — a winning delete must be visible to the merge stage
+so it can drop the key; ranking happens BEFORE partitioning into
+upserts vs deletes, per SURVEY.md §7 hard-parts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_KEYS = ("url",)
+DEFAULT_VERSION = ("warc_ts", "seq")
+
+
+def _version_struct(version_cols: Sequence[str]):
+    return F.struct(*[F.col(c).alias(c) for c in version_cols])
+
+
+def lww_window(
+    df: DataFrame,
+    key_cols: Sequence[str] = DEFAULT_KEYS,
+    version_cols: Sequence[str] = DEFAULT_VERSION,
+) -> DataFrame:
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in version_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def lww_agg(
+    df: DataFrame,
+    key_cols: Sequence[str] = DEFAULT_KEYS,
+    version_cols: Sequence[str] = DEFAULT_VERSION,
+    broadcast_winners: bool = True,
+) -> DataFrame:
+    """Partial-agg winners, then payload semi-join. Payload never shuffles."""
+    winners = (
+        df.groupBy(*key_cols)
+        .agg(F.max(_version_struct(version_cols)).alias("__v"))
+        .select(*key_cols, *[F.col(f"__v.{c}").alias(c) for c in version_cols])
+    )
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    return df.join(winners, on=[*key_cols, *version_cols], how="inner")
+
+
+def lww_salted(
+    df: DataFrame,
+    key_cols: Sequence[str] = DEFAULT_KEYS,
+    version_cols: Sequence[str] = DEFAULT_VERSION,
+    n_salt: int = 16,
+    broadcast_winners: bool = True,
+) -> DataFrame:
+    """Two-phase salted LWW for hot-key skew.
+
+    A degenerate single-key epoch (every event the same url) turns the
+    plain agg's reduce side into one task; AQE skew-join does not help a
+    skewed *aggregation*. Salting by ``xxhash64(seq) % k`` makes phase 1
+    k-way parallel per key; phase 2 reduces k rows per key. max() is
+    associative + commutative, so two-phase == one-phase exactly.
+    """
+    vs = _version_struct(version_cols)
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*version_cols), F.lit(n_salt)))
+    phase1 = salted.groupBy(*key_cols, "__salt").agg(F.max(vs).alias("__v"))
+    winners = (
+        phase1.groupBy(*key_cols)
+        .agg(F.max("__v").alias("__v"))
+        .select(*key_cols, *[F.col(f"__v.{c}").alias(c) for c in version_cols])
+    )
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    return df.join(winners, on=[*key_cols, *version_cols], how="inner")
+
+
+def lww_collapse(
+    df: DataFrame,
+    key_cols: Sequence[str] = DEFAULT_KEYS,
+    version_cols: Sequence[str] = DEFAULT_VERSION,
+    method: str = "agg",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Dispatch: one row per key, winning event's full row."""
+    if method == "window":
+        return lww_window(df, key_cols, version_cols)
+    if method == "agg":
+        return lww_agg(df, key_cols, version_cols)
+    if method == "salted":
+        return lww_salted(df, key_cols, version_cols, n_salt=n_salt)
+    raise ValueError(f"unknown LWW method: {method}")

@@ -1,0 +1,421 @@
+"""SnapshotTable — a minimal Iceberg-semantics table over plain parquet.
+
+Why it exists: the reference's sinks are keyed-upsert stores with snapshot
+backup/restore and retention (SQLite ``INSERT OR REPLACE`` + ``_backup/
+_restore/free_space`` — src/repositories/sqlite/base.py:81-135,152-175,
+210-238; ClickHouse ReplacingMergeTree — src/repositories/clickhouse/
+event.py:58-80). The sandbox has no Iceberg/Delta jars, so we implement the
+same *semantics* dependency-free:
+
+- **Immutable data files**, hash-bucketed by key (``xxhash64(url) %
+  n_buckets``) so an upsert epoch rewrites only the buckets its keys touch
+  (copy-on-write), never the whole table. At 100 TB, an epoch touching 1%
+  of keys reads/writes ~1% of buckets.
+- **Manifests**: JSON per snapshot listing (file, bucket, schema_version,
+  rows, bytes). A snapshot = carried-over files of untouched buckets +
+  newly written files.
+- **Atomic ledger**: the ONLY commit point. ``ledger.json`` is replaced
+  via ``os.replace`` (atomic on POSIX); data/manifest files written before
+  a crash are simply unreferenced (invisible) — this is the write-ahead
+  discipline that makes every epoch idempotent and the whole stream
+  exactly-once. On a real cluster this single file becomes an Iceberg
+  catalog / metastore CAS swap; the protocol is identical.
+- **Schema evolution**: each file records the schema version it was
+  written under; reads group files by version and upgrade (add-column →
+  null fill, rename → projection) to the current schema — the Iceberg
+  field-mapping behavior, per-version instead of per-field-id.
+- **Snapshot ops**: ``rollback`` (reference `_restore`), and
+  ``expire_snapshots`` (reference `free_space` retention).
+
+Single-writer (one driver) is assumed, as in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ethereum_etl_spark.schemas import SchemaRegistry
+
+BUCKET_COL = "__bucket"
+TOMBSTONE_COL = "__deleted"
+_BUCKET_DIR = "__bucket_dir"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Identity-stable hash bucket for a key (same fn everywhere)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    bucket: int
+    schema_version: int
+    rows: int
+    bytes: int
+
+    def to_json(self) -> dict:
+        return self.__dict__.copy()
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(**d)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    parent_id: str | None
+    schema_version: int
+    files: list[DataFile] = field(default_factory=list)
+    summary: dict = field(default_factory=dict)
+
+
+class SnapshotTable:
+    """Bucketed copy-on-write parquet table with manifest/ledger commits."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        registry: SchemaRegistry,
+        key_col: str = "url",
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.root = root
+        self.registry = registry
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        # bucketing params are a property of the TABLE, not the session:
+        # a mismatched n_buckets would break copy-on-write file pruning,
+        # so the persisted value always wins.
+        meta_path = os.path.join(root, "table_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta["key_col"] != key_col:
+                raise ValueError(
+                    f"table at {root} is keyed by {meta['key_col']!r}, not {key_col!r}"
+                )
+            self.n_buckets = meta["n_buckets"]
+        else:
+            tmp = meta_path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"key_col": key_col, "n_buckets": n_buckets}, f)
+            os.replace(tmp, meta_path)
+
+    # ------------------------------------------------------------------
+    # Ledger (the atomic commit point)
+    # ------------------------------------------------------------------
+
+    @property
+    def _ledger_path(self) -> str:
+        return os.path.join(self.root, "ledger.json")
+
+    def read_ledger(self) -> list[dict]:
+        if not os.path.exists(self._ledger_path):
+            return []
+        with open(self._ledger_path) as f:
+            return json.load(f)["entries"]
+
+    def _append_ledger(self, entry: dict) -> None:
+        entries = self.read_ledger()
+        entries.append(entry)
+        tmp = self._ledger_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"entries": entries}, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._ledger_path)  # atomic: THE commit
+
+    def committed_epochs(self) -> dict[int, dict]:
+        return {e["epoch_id"]: e for e in self.read_ledger() if "epoch_id" in e}
+
+    def high_watermark(self) -> int:
+        """Highest WAL seq applied (exclusive resume point); -1 if empty."""
+        entries = self.read_ledger()
+        return max((e.get("end_seq", -1) for e in entries), default=-1)
+
+    # ------------------------------------------------------------------
+    # Manifests
+    # ------------------------------------------------------------------
+
+    def _manifest_path(self, snapshot_id: str) -> str:
+        return os.path.join(self.root, "manifests", f"manifest-{snapshot_id}.json")
+
+    def _write_manifest(self, snap: Snapshot) -> None:
+        with open(self._manifest_path(snap.snapshot_id), "w") as f:
+            json.dump(
+                {
+                    "snapshot_id": snap.snapshot_id,
+                    "parent_id": snap.parent_id,
+                    "schema_version": snap.schema_version,
+                    "files": [df.to_json() for df in snap.files],
+                    "summary": snap.summary,
+                },
+                f,
+                indent=1,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+
+    def read_snapshot_meta(self, snapshot_id: str) -> Snapshot:
+        with open(self._manifest_path(snapshot_id)) as f:
+            d = json.load(f)
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d["parent_id"],
+            schema_version=d["schema_version"],
+            files=[DataFile.from_json(x) for x in d["files"]],
+            summary=d.get("summary", {}),
+        )
+
+    def current_snapshot(self) -> Snapshot | None:
+        entries = self.read_ledger()
+        if not entries:
+            return None
+        return self.read_snapshot_meta(entries[-1]["snapshot_id"])
+
+    # ------------------------------------------------------------------
+    # Read path
+    # ------------------------------------------------------------------
+
+    def _read_files(
+        self,
+        files: Sequence[DataFile],
+        to_version: int,
+    ) -> DataFrame | None:
+        """Read data files, upgrading each schema-version group to
+        `to_version` (add-column → null, rename → projection)."""
+        if not files:
+            return None
+        by_version: dict[int, list[DataFile]] = {}
+        for df_ in files:
+            by_version.setdefault(df_.schema_version, []).append(df_)
+        out: DataFrame | None = None
+        for version, group in sorted(by_version.items()):
+            schema = self._physical_schema(version)
+            paths = [os.path.join(self.root, g.path) for g in group]
+            part = self.spark.read.schema(schema).parquet(*paths)
+            part = _upgrade_df(part, version, to_version, self.registry)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def _physical_schema(self, version: int) -> T.StructType:
+        base = schema_for_version(self.registry, version)
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField(TOMBSTONE_COL, T.BooleanType(), True),
+                T.StructField(BUCKET_COL, T.IntegerType(), True),
+            ]
+        )
+
+    def read(self) -> DataFrame | None:
+        """Current table state (user columns + __bucket)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        return self._read_files(snap.files, snap.schema_version)
+
+    def read_buckets(
+        self, buckets: set[int], to_version: int
+    ) -> tuple[DataFrame | None, list[DataFile], int]:
+        """(rows of the given buckets upgraded to to_version,
+        untouched carried-over files, touched row count per manifests)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return None, [], 0
+        touched = [f for f in snap.files if f.bucket in buckets]
+        untouched = [f for f in snap.files if f.bucket not in buckets]
+        return self._read_files(touched, to_version), untouched, sum(f.rows for f in touched)
+
+    # ------------------------------------------------------------------
+    # Write path
+    # ------------------------------------------------------------------
+
+    def new_snapshot_id(self) -> str:
+        return f"s{len(self.read_ledger()):06d}-{uuid.uuid4().hex[:8]}"
+
+    def stage(
+        self,
+        new_rows: DataFrame,
+        snapshot_id: str,
+        schema_version: int,
+        expected_cols: Sequence[str],
+    ) -> list[DataFile]:
+        """Write data files for a snapshot WITHOUT committing them.
+
+        Files land in data/<snapshot_id>/; until the ledger references the
+        manifest they are invisible — a crash here is harmless (orphans
+        are GC'd by expire_snapshots).
+        """
+        out_dir = os.path.join(self.root, "data", snapshot_id)
+        (
+            new_rows.select(*expected_cols, BUCKET_COL)
+            .withColumn(_BUCKET_DIR, F.col(BUCKET_COL))
+            .repartition(self.n_buckets, BUCKET_COL)
+            .write.partitionBy(_BUCKET_DIR)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        return self._scan_written(out_dir, snapshot_id, schema_version)
+
+    def commit(
+        self,
+        snapshot_id: str,
+        new_files: list[DataFile],
+        carried: list[DataFile],
+        schema_version: int,
+        epoch_entry: dict,
+    ) -> str:
+        """Manifest write + atomic ledger append (THE commit point)."""
+        parent = self.current_snapshot()
+        snap = Snapshot(
+            snapshot_id=snapshot_id,
+            parent_id=parent.snapshot_id if parent else None,
+            schema_version=schema_version,
+            files=carried + new_files,
+            summary={
+                "new_files": len(new_files),
+                "carried_files": len(carried),
+                "new_rows": sum(f.rows for f in new_files),
+                "new_bytes": sum(f.bytes for f in new_files),
+            },
+        )
+        self._write_manifest(snap)
+        entry = dict(epoch_entry)
+        entry.update(
+            snapshot_id=snapshot_id,
+            schema_version=schema_version,
+            committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        )
+        self._append_ledger(entry)
+        return snapshot_id
+
+    def write_snapshot(
+        self,
+        new_rows: DataFrame | None,
+        carried: list[DataFile],
+        schema_version: int,
+        epoch_entry: dict,
+        expected_cols: Sequence[str],
+    ) -> str:
+        """Convenience: stage + commit in one call."""
+        snapshot_id = self.new_snapshot_id()
+        new_files: list[DataFile] = []
+        if new_rows is not None:
+            new_files = self.stage(new_rows, snapshot_id, schema_version, expected_cols)
+        return self.commit(snapshot_id, new_files, carried, schema_version, epoch_entry)
+
+    def _scan_written(self, out_dir: str, snapshot_id: str, schema_version: int) -> list[DataFile]:
+        import pyarrow.parquet as pq
+
+        files: list[DataFile] = []
+        for dirent in sorted(os.listdir(out_dir)):
+            if not dirent.startswith(f"{_BUCKET_DIR}="):
+                continue
+            bucket = int(dirent.split("=", 1)[1])
+            subdir = os.path.join(out_dir, dirent)
+            for fn in sorted(os.listdir(subdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(subdir, fn)
+                meta = pq.read_metadata(full)
+                files.append(
+                    DataFile(
+                        path=os.path.relpath(full, self.root),
+                        bucket=bucket,
+                        schema_version=schema_version,
+                        rows=meta.num_rows,
+                        bytes=os.path.getsize(full),
+                    )
+                )
+        return files
+
+    # ------------------------------------------------------------------
+    # Snapshot management (reference backup/restore/retention analogs)
+    # ------------------------------------------------------------------
+
+    def rollback(self, snapshot_id: str) -> None:
+        """Point the table back at an earlier snapshot (restore analog —
+        reference src/repositories/sqlite/base.py:108-124)."""
+        snap = self.read_snapshot_meta(snapshot_id)  # must exist
+        self._append_ledger(
+            {
+                "rollback_to": snap.snapshot_id,
+                "snapshot_id": snap.snapshot_id,
+                "schema_version": snap.schema_version,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Delete data files referenced ONLY by expired snapshots
+        (retention analog — reference free_space/reclaim_space,
+        src/repositories/sqlite/base.py:210-238). Returns files deleted."""
+        entries = self.read_ledger()
+        if len(entries) <= keep_last:
+            return 0
+        live_ids = {e["snapshot_id"] for e in entries[-keep_last:]}
+        live_files: set[str] = set()
+        for sid in live_ids:
+            live_files.update(f.path for f in self.read_snapshot_meta(sid).files)
+        deleted = 0
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for fn in filenames:
+                rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
+                if fn.endswith(".parquet") and rel not in live_files:
+                    os.remove(os.path.join(self.root, rel))
+                    deleted += 1
+        return deleted
+
+
+# ---------------------------------------------------------------------------
+# Schema-version helpers
+# ---------------------------------------------------------------------------
+
+
+def schema_for_version(registry: SchemaRegistry | None, version: int) -> T.StructType:
+    from ethereum_etl_spark.schemas import apply_change
+
+    if registry is None:
+        raise ValueError("registry required to resolve schema versions")
+    schema = T.StructType(list(registry.base_schema.fields))
+    for c in registry.changes:
+        if c.schema_version <= version:
+            schema = apply_change(schema, c.change)
+    return schema
+
+
+def _upgrade_df(
+    df: DataFrame, from_version: int, to_version: int, registry: SchemaRegistry | None
+) -> DataFrame:
+    """Apply add/rename changes in (from_version, to_version] to a DataFrame."""
+    if from_version == to_version or registry is None:
+        return df
+    from ethereum_etl_spark.schemas import _SPARK_TYPES
+
+    for c in registry.changes:
+        if from_version < c.schema_version <= to_version:
+            if "add_column" in c.change:
+                spec = c.change["add_column"]
+                if spec["name"] not in df.columns:
+                    df = df.withColumn(spec["name"], F.lit(None).cast(_SPARK_TYPES[spec["type"]]))
+            elif "rename_column" in c.change:
+                spec = c.change["rename_column"]
+                df = df.withColumnRenamed(spec["from"], spec["to"])
+    return df

@@ -1,0 +1,174 @@
+"""Schema registry for the CDC engine.
+
+The reference declares fixed per-entity schemas twice (SQLAlchemy models in
+src/schemas/sql/*.py and raw DDL in src/repositories/sqlite/*.py) and is
+tolerant of missing fields at extract time (src/tasks/extract/block.py:29-34).
+We formalize that posture: explicit StructTypes, plus a *versioned* schema
+registry whose change records drive Iceberg-style ``ADD COLUMN`` /
+``RENAME COLUMN`` evolution on the target table (the north rule's ``lang``
+column case).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Core table schemas (FIXTURES.md F1-F5)
+# ---------------------------------------------------------------------------
+
+#: F1 — the WAL / binlog stream. Append-only, totally ordered by `seq`.
+CHANGE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),  # insert|update|delete
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),  # null for deletes
+        T.StructField("lang", T.StringType(), True),  # post-evolution only
+    ]
+)
+
+#: F2 — target `pages` table, schema version 1 (pre-evolution: no `lang`).
+PAGES_SCHEMA_V1 = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("seq", T.LongType(), False),  # winning event offset
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+#: F2 — schema version 2 (after the `add_column lang` change record).
+PAGES_SCHEMA_V2 = T.StructType(
+    list(PAGES_SCHEMA_V1.fields) + [T.StructField("lang", T.StringType(), True)]
+)
+
+#: F3 — per-partition, per-epoch lineage rows.
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch_id", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("start_seq", T.LongType(), False),
+        T.StructField("end_seq", T.LongType(), False),
+        T.StructField("row_count", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
+        T.StructField("snapshot_id", T.StringType(), True),
+        T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Versioned schema registry (FIXTURES.md F4)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SchemaChange:
+    """One change-schema record: applies from `effective_seq` onward."""
+
+    schema_version: int
+    effective_seq: int
+    change: dict  # {"add_column": {...}} | {"rename_column": {...}}
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "schema_version": self.schema_version,
+                "effective_seq": self.effective_seq,
+                "change": self.change,
+            },
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "SchemaChange":
+        d = json.loads(s)
+        return SchemaChange(d["schema_version"], d["effective_seq"], d["change"])
+
+
+_SPARK_TYPES = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "binary": T.BinaryType(),
+    "timestamp": T.TimestampType(),
+    "decimal(38,0)": T.DecimalType(38, 0),
+}
+
+
+@dataclass
+class SchemaRegistry:
+    """Ordered list of schema versions for the target table.
+
+    ``schema_at(seq)`` resolves the StructType in effect at a WAL offset;
+    the merge writer calls it per epoch and applies evolution DDL
+    (add/rename) to the target before merging the epoch that requires it.
+    """
+
+    base_schema: T.StructType
+    changes: list[SchemaChange] = field(default_factory=list)
+
+    def add_change(self, change: SchemaChange) -> None:
+        if self.changes and change.schema_version <= self.changes[-1].schema_version:
+            raise ValueError("schema_version must be monotonically increasing")
+        self.changes.append(change)
+
+    def version_at(self, seq: int) -> int:
+        v = 1
+        for c in self.changes:
+            if seq >= c.effective_seq:
+                v = c.schema_version
+        return v
+
+    def schema_at(self, seq: int) -> T.StructType:
+        schema = T.StructType(list(self.base_schema.fields))
+        for c in self.changes:
+            if seq < c.effective_seq:
+                break
+            schema = apply_change(schema, c.change)
+        return schema
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "base_schema": self.base_schema.json(),
+                "changes": [json.loads(c.to_json()) for c in self.changes],
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "SchemaRegistry":
+        d = json.loads(s)
+        reg = SchemaRegistry(base_schema=T.StructType.fromJson(json.loads(d["base_schema"])))
+        for c in d["changes"]:
+            reg.changes.append(SchemaChange(c["schema_version"], c["effective_seq"], c["change"]))
+        return reg
+
+
+def apply_change(schema: T.StructType, change: dict) -> T.StructType:
+    """Apply one ADD/RENAME COLUMN change record to a StructType."""
+    if "add_column" in change:
+        spec = change["add_column"]
+        if spec["name"] in schema.fieldNames():
+            return schema
+        return T.StructType(
+            list(schema.fields)
+            + [T.StructField(spec["name"], _SPARK_TYPES[spec["type"]], True)]
+        )
+    if "rename_column" in change:
+        spec = change["rename_column"]
+        return T.StructType(
+            [
+                T.StructField(spec["to"] if f.name == spec["from"] else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+    raise ValueError(f"unknown schema change: {change}")

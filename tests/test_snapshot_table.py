@@ -1,0 +1,76 @@
+"""SnapshotTable mechanics: rollback, retention, tailer (SURVEY.md S10, S2)."""
+
+import os
+
+from ethereum_etl_spark.plans.engine import CDCEngine, EngineConfig
+from ethereum_etl_spark.sources.walgen import WalConfig, gen_wal, write_wal
+from ethereum_etl_spark.streaming.tailer import tail
+
+
+def _mk_engine(spark, tmp_path, tmp_table, n_events=4_000, epoch=1_000):
+    p = str(tmp_path / "wal")
+    write_wal(gen_wal(spark, WalConfig(n_events=n_events, n_urls=600)), p, n_files=4)
+    return CDCEngine(spark, p, tmp_table, config=EngineConfig(epoch_size=epoch, n_buckets=4))
+
+
+def test_rollback_restores_prior_state(spark, tmp_path, tmp_table):
+    eng = _mk_engine(spark, tmp_path, tmp_table)
+    results = eng.run()
+    mid_snapshot = results[1].snapshot_id
+    final_count = eng.read_table().count()
+    eng.table.rollback(mid_snapshot)
+    rolled_count = eng.read_table().count()
+    assert eng.table.current_snapshot().snapshot_id == mid_snapshot
+    assert rolled_count != final_count or rolled_count > 0
+
+
+def test_expire_snapshots_frees_files_keeps_state(spark, tmp_path, tmp_table):
+    eng = _mk_engine(spark, tmp_path, tmp_table)
+    eng.run()
+    before = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    deleted = eng.table.expire_snapshots(keep_last=1)
+    assert deleted > 0
+    after = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    assert before.equals(after)
+
+
+def test_orphaned_staging_files_are_expired(spark, tmp_path, tmp_table):
+    """Files staged by a crashed epoch are invisible and GC-able."""
+    from ethereum_etl_spark.plans.engine import InjectedCrash
+    import pytest
+
+    p = str(tmp_path / "wal")
+    write_wal(gen_wal(spark, WalConfig(n_events=2_000, n_urls=300)), p, n_files=2)
+    cfg = EngineConfig(epoch_size=1_000, n_buckets=4, crash_points={"after_stage"})
+    eng = CDCEngine(spark, p, tmp_table, config=cfg)
+    with pytest.raises(InjectedCrash):
+        eng.run()
+    # orphan parquet exists on disk but no snapshot references it
+    data_dir = os.path.join(tmp_table, "data")
+    n_orphans = sum(len(fs) for _, _, fs in os.walk(data_dir))
+    assert n_orphans > 0
+    eng2 = CDCEngine(spark, p, tmp_table, config=EngineConfig(epoch_size=1_000, n_buckets=4))
+    eng2.run()
+    eng2.table.expire_snapshots(keep_last=1)
+    final = eng2.read_table().count()
+    assert final > 0
+
+
+def test_tailer_applies_growing_wal(spark, tmp_path, tmp_table):
+    """Tail mode: WAL grows between polls; engine catches up exactly-once."""
+    p = str(tmp_path / "wal_tail")
+    full = gen_wal(spark, WalConfig(n_events=3_000, n_urls=400))
+    from pyspark.sql import functions as F
+
+    write_wal(full.filter(F.col("seq") < 1_500), p, n_files=2)
+    eng = CDCEngine(spark, p, tmp_table, config=EngineConfig(epoch_size=500, n_buckets=4))
+    r1 = tail(eng, max_polls=1)
+    assert sum(x.n_events for x in r1) == 1_500
+    # WAL grows (append-only: new files, old untouched)
+    full.filter(F.col("seq") >= 1_500).repartitionByRange(2, "seq").write.mode(
+        "append"
+    ).parquet(p)
+    r2 = tail(eng, max_polls=1)
+    assert sum(x.n_events for x in r2) == 1_500
+    assert eng.table.high_watermark() == 2_999
+    assert eng.read_table().count() == eng.read_table().select("url").distinct().count()
