@@ -241,29 +241,31 @@ def simhash64(text_col="text"):
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.filter(F.split(F.lower(c), r"\W+"), lambda w: w != "")
     # accumulate per-bit counters: acc[j] += tokenbit_j ? 1 : -1
+    # (bit positions are Python-level ints: shiftright needs a literal count)
     acc = F.aggregate(
         words,
         F.array_repeat(F.lit(0).cast("long"), 64),
         lambda a, w: F.zip_with(
             a,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda j: F.when(
-                    F.shiftright(F.xxhash64(w), j).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(w), j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
+                    for j in range(64)
+                ]
             ),
             lambda x, y: x + y,
         ),
     )
-    # fold sign bits into one long
+    # fold sign bits into one long; bit 63's mask is Long.MIN_VALUE
+    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
     return F.aggregate(
         F.zip_with(
             acc,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            F.array(*[F.lit(m).cast("long") for m in masks]),
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda s, x: s.bitwiseXOR(x),
@@ -284,19 +286,25 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
+
+    def _chunk_mask(nbits: int) -> int:
+        m = (1 << nbits) - 1
+        return m if m < (1 << 63) else m - (1 << 64)  # two's-complement long
     h = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
     chunks = h.select(
         "id",
         "sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-                lambda i: F.struct(
-                    i.alias("chunk_idx"),
-                    F.shiftright(F.col("sh"), i * bits)
-                    .bitwiseAND(F.lit((1 << bits) - 1))
-                    .alias("chunk_val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("sh"), i * bits)
+                        .bitwiseAND(F.lit(_chunk_mask(bits)))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(n_chunks)
+                ]
             )
         ).alias("c"),
     ).select("id", "sh", "c.chunk_idx", "c.chunk_val")

@@ -98,6 +98,20 @@ def _sketch(vec_col, planes: list[list[float]]):
     return out
 
 
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All bit masks of popcount ≤ radius over n_planes bits (multi-probe)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,17 +122,33 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 12,
     n_tables: int = 4,
+    probe_radius: int = 2,
     seed: int = 11,
 ) -> DataFrame:
-    """LSH-bucketed ANN: candidates from n_tables independent sketches,
-    exact cosine rerank, top-k. Recall grows with n_tables."""
+    """LSH-bucketed ANN: candidates from n_tables independent sketches
+    with multi-probe (query probes every bucket within `probe_radius`
+    sketch-bit flips — Lv et al., "Multi-Probe LSH"), exact cosine
+    rerank, top-k. Recall grows with n_tables × probes; only the tiny
+    broadcast query side is exploded, the corpus is sketched once."""
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv"))
+    masks = _probe_masks(n_planes, probe_radius)
     cand = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 101 * t)
         cb = c.select(id_col, "__cv", _sketch(F.col("__cv"), planes).alias("__b"))
-        qb = q.select(query_id_col, "__qv", _sketch(F.col("__qv"), planes).alias("__b"))
+        qb = (
+            q.select(query_id_col, "__qv", _sketch(F.col("__qv"), planes).alias("__b0"))
+            .select(
+                query_id_col,
+                "__qv",
+                F.explode(
+                    F.array(
+                        *[F.col("__b0").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+                    )
+                ).alias("__b"),
+            )
+        )
         part = cb.join(F.broadcast(qb), on="__b").select(query_id_col, id_col, "__cv", "__qv")
         cand = part if cand is None else cand.unionByName(part)
     cand = cand.dropDuplicates([query_id_col, id_col])
