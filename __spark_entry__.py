@@ -1,38 +1,734 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the CDC engine end-to-end on a small
+deterministic synthetic WAL (generate → LWW dedup → extract → MERGE →
+read final table).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data operators (dedup,
+similarity search, text analysis). Oracle-checked queries return
+deterministic columns only (exact decimal sums cast to double, integer
+divisions, ids instead of raw timestamps) so the driver's value-hash
+compare is stable across engines.
+
+Non-SQL-expressible entries (hash-seeded LSH/MinHash/SimHash candidate
+generation, ANN with approximate recall, the snapshot-table CDC replay
+itself, multimodal stub pipeline) have no oracle — the driver records a
+rows-only check for those, and tests/ assert their semantics against
+in-repo oracles (pandas replay reducer, brute-force pairs).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, scale: int = 2):
+    """Exact decimal sum surfaced as double (deterministic across engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """CDC engine end-to-end: synthesize a WAL, apply all epochs through
+    the snapshot table (LWW dedup → Arrow text extract → MERGE → ledger
+    commit), return the final pages table (url, seq, text fingerprint)."""
+    import tempfile
+
+    from ethereum_etl_spark.plans.engine import CDCEngine, EngineConfig
+    from ethereum_etl_spark.sources.walgen import WalConfig, gen_wal, write_wal
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    wal_path = f"{root}/wal"
+    write_wal(gen_wal(spark, WalConfig(n_events=2_000, n_urls=400)), wal_path, n_files=8)
+    engine = CDCEngine(
+        spark, wal_path, f"{root}/table", config=EngineConfig(epoch_size=1_000, n_buckets=8)
+    )
+    engine.run()
+    final = engine.read_table()
+    return final.select(
+        "url", "seq", F.md5(F.col("text")).alias("text_md5"), F.length("text").alias("n_chars")
+    ).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# CDC / LWW family (events table as the WAL analog:
+#   key=user_id, version=(ts, event_id), delete-op analog=event_type'error')
+# ---------------------------------------------------------------------------
+
+_LWW_OUT = """
+SELECT user_id, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_lww_window(spark, sf_dir):
+    from ethereum_etl_spark.operators.lww import lww_window
+
+    ev = _t(spark, sf_dir, "events")
+    return lww_window(ev, key_cols=("user_id",), version_cols=("ts", "event_id")).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+def q_lww_agg(spark, sf_dir):
+    from ethereum_etl_spark.operators.lww import lww_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return lww_agg(ev, key_cols=("user_id",), version_cols=("ts", "event_id")).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+def q_lww_salted(spark, sf_dir):
+    from ethereum_etl_spark.operators.lww import lww_salted
+
+    ev = _t(spark, sf_dir, "events")
+    return lww_salted(
+        ev, key_cols=("user_id",), version_cols=("ts", "event_id"), n_salt=8
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+def q_cdc_final_state(spark, sf_dir):
+    """Full CDC semantics in one query: LWW winner per key, winning
+    delete (event_type='error') removes the key from the final state."""
+    from ethereum_etl_spark.operators.lww import lww_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    win = lww_agg(ev, key_cols=("user_id",), version_cols=("ts", "event_id"))
+    return win.filter(F.col("op") != "delete").select("user_id", "event_id", "value")
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (S6/J6): target = LWW state of even event_ids,
+    source batch = LWW state of odd event_ids; version-guarded upsert."""
+    from ethereum_etl_spark.operators.lww import lww_agg
+    from ethereum_etl_spark.operators.merge import merge_resolve
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    target = lww_agg(
+        ev.filter(F.col("event_id") % 2 == 0), ("user_id",), ("ts", "event_id")
+    ).select(*cols)
+    source = lww_agg(
+        ev.filter(F.col("event_id") % 2 == 1), ("user_id",), ("ts", "event_id")
+    ).select(*cols)
+    merged = merge_resolve(
+        target, source, key_col="user_id", version_cols=("ts", "event_id"), data_cols=cols
+    )
+    return merged.select("user_id", "event_id", "event_type", "value")
+
+
+def q_retention_keep3(spark, sf_dir):
+    """Retention top-N (A7): keep the newest 3 events per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.col("rn").cast("long").alias("recency_rank"))
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    """Distinct/dedup-before-lookup (A1-A3)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: for each 'error' event, the most recent 'click' by the
+    same user at an earlier-or-equal (ts, event_id). Implemented the
+    scalable way — union + last(ignorenulls) over a key-partitioned
+    ordering, no range join, no per-key loop."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
+    tagged = ev.withColumn(
+        "click_id", F.when(F.col("event_type") == "click", F.col("event_id"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("event_id").alias("error_event_id"), "asof_click_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core: aggregation / join / window / sort / set / scalar
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing(spark, sf_dir):
+    # inputs are cast to decimal BEFORE arithmetic: decimal × decimal is
+    # exact in both engines, where a double→decimal cast of a computed
+    # product rounds differently (Spark casts via the double's shortest
+    # string repr, DuckDB via its exact binary value).
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    disc = price * (one - F.col("l_discount").cast("decimal(18,2)"))
+    charge = disc * (one + F.col("l_tax").cast("decimal(18,2)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (_dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+        (_dsum("l_discount", 4) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_join_region_revenue(spark, sf_dir):
+    """Multi-way dim join (J1-J4 lookup-enrich analog): broadcast dims."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("revenue"))
+    )
+
+
+def q_semi_anti(spark, sf_dir):
+    """Semi/anti join (§2.7 INSERT OR IGNORE analog): per-nation counts of
+    customers with vs without orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_o = c.join(o, "c_custkey", "left_semi").groupBy("c_nationkey").agg(
+        F.count("*").alias("with_orders")
+    )
+    without_o = c.join(o, "c_custkey", "left_anti").groupBy("c_nationkey").agg(
+        F.count("*").alias("without_orders")
+    )
+    return (
+        with_o.join(without_o, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
+
+
+def q_union_except(spark, sf_dir):
+    """Set ops (§2.7): high-value buyers ∪ recent buyers, minus churned."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300_000).select("o_custkey")
+    recent = o.filter(F.col("o_orderdate") >= "1997-01-01").select("o_custkey")
+    churn = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("m")).filter(
+        F.col("m") < "1995-01-01"
+    ).select("o_custkey")
+    return (
+        big.union(recent).distinct().exceptAll(churn.distinct())
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def q_window_running(spark, sf_dir):
+    """Cumulative window frame (§2.5) with exact decimal running sum."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("run_cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("run_sum"),
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """Sort/limit top-k (O2/O4)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_rollup_counts(spark, sf_dir):
+    """Grouping-sets rollup (§2.4 'absent in reference, Catalyst builtin')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum("l_quantity").alias("qty")
+    )
+
+
+def q_scalar_suite(spark, sf_dir):
+    """Scalar function inventory (§2.8): hex↔dec conv, substring, lpad,
+    lower, nullif-style empty→null, array size/element_at on split."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    words = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        F.conv(F.hex(F.col("o_orderkey")), 16, 10).alias("hex_roundtrip"),
+        F.lower(F.col("o_orderpriority")).alias("prio_lower"),
+        F.substring(F.col("o_orderstatus"), 1, 1).alias("status_c1"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.nullif(F.trim(F.substring(F.col("o_orderstatus"), 2, 1)), F.lit("")).alias(
+            "empty_normalized"
+        ),
+        F.size(words).cast("long").alias("prio_parts"),
+        F.element_at(words, 1).alias("prio_head"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON path extraction (§2.8 raw-payload handling)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+def q_explode_word_counts(spark, sf_dir):
+    """explode/unnest (P2/P3/P5): top-50 words across documents."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data operators: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    from ethereum_etl_spark.operators.dedupe import exact_dup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    # oracle groups by text itself; hash-group == text-group sans collisions
+    return exact_dup_groups(d).select("canonical_id", "group_size")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
+
+
+def q_token_stats(spark, sf_dir):
+    from ethereum_etl_spark.functions.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    from ethereum_etl_spark.functions.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from ethereum_etl_spark.functions.extract import detect_lang_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(detect_lang_udf(F.col("text")).alias("lang_pred")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def q_jaccard_unigram_pairs(spark, sf_dir):
+    from ethereum_etl_spark.operators.dedupe import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return ngram_jaccard_pairs(
+        d, shingle_len=1, threshold=0.9
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_embedding_topk(spark, sf_dir):
+    from ethereum_etl_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = brute_force_topk(e, q, k=10)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL oracle — semantics asserted in tests/)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_replay(spark, sf_dir):
+    """The engine itself: WAL → epochs → snapshot table (rows-only;
+    exactness vs the pandas replay oracle is asserted in tests/)."""
+    return entry(spark)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    from ethereum_etl_spark.operators.dedupe import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup(d, threshold=0.85).select("doc_id")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from ethereum_etl_spark.operators.dedupe import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from ethereum_etl_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(e, q, k=10, dim=64, n_planes=10, n_tables=6)
+
+
+def q_ann_ivf(spark, sf_dir):
+    from ethereum_etl_spark.operators.similarity import build_ivf, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    assigned, centroids = build_ivf(e, n_lists=8)
+    return ivf_topk(assigned, centroids, q, k=10, n_probe=4)
+
+
+def q_multimodal(spark, sf_dir):
+    """Multimodal plumbing: synthetic media table → mapInPandas image
+    decode/feature stage (decode itself is a deterministic stub)."""
+    from ethereum_etl_spark.functions.multimodal import gen_media, image_features
+
+    media = gen_media(spark, n=200)
+    return image_features(media).select(
+        "media_id", "byte_len", "sha256", "width", "height"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # CDC / LWW family
+        "lww_window": q_lww_window,
+        "lww_agg": q_lww_agg,
+        "lww_salted": q_lww_salted,
+        "cdc_final_state": q_cdc_final_state,
+        "merge_upsert": q_merge_upsert,
+        "retention_keep3": q_retention_keep3,
+        "distinct_users": q_distinct_users,
+        "asof_join": q_asof_join,
+        # relational core
+        "q1_pricing": q_q1_pricing,
+        "join_region_revenue": q_join_region_revenue,
+        "semi_anti": q_semi_anti,
+        "union_except": q_union_except,
+        "window_running": q_window_running,
+        "topk_orders": q_topk_orders,
+        "rollup_counts": q_rollup_counts,
+        "scalar_suite": q_scalar_suite,
+        "json_extract": q_json_extract,
+        "explode_word_counts": q_explode_word_counts,
+        # training-data operators
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "jaccard_unigram_pairs": q_jaccard_unigram_pairs,
+        "embedding_topk": q_embedding_topk,
+        # rows-only (non-SQL-expressible)
+        "cdc_replay": q_cdc_replay,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal": q_multimodal,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPWORDS_SQL = (
+    "the of and a to in is was he for it with as his on be at by i this had "
+    "not are but from or have an they which one you were her all she there "
+    "would their we him been has when who will more no if out"
+).split()
+
+_LANG_STOPWORDS_SQL: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "pour", "que", "dans", "une"),
+    "es": ("el", "la", "los", "que", "y", "en", "es", "por", "con"),
+    "vi": ("của", "và", "là", "có", "trong", "không", "được", "người"),
+}
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(_LANG_STOPWORDS_SQL)  # alphabetical = UDF tie-break order
+    cnt = {
+        lang: (
+            "len(regexp_extract_all(text, '(?i)\\b(?:"
+            + "|".join(_LANG_STOPWORDS_SQL[lang])
+            + ")\\b'))"
+        )
+        for lang in langs
+    }
+    clauses = []
+    for i, lang in enumerate(langs):
+        others = [cnt[o] for o in langs[i + 1 :]]
+        cond = " AND ".join([f"{cnt[lang]} >= {o}" for o in others]) or "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    greatest = "greatest(" + ", ".join(cnt[lang] for lang in langs) + ")"
+    return (
+        f"CASE WHEN text IS NULL THEN NULL WHEN {greatest} = 0 THEN 'und' "
+        + " ".join(clauses)
+        + " END"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_pat = r"(?i)\b(?:" + "|".join(_STOPWORDS_SQL) + r")\b"
+    return {
+        # --- CDC / LWW family -------------------------------------------
+        "lww_window": _LWW_OUT,
+        "lww_agg": _LWW_OUT,
+        "lww_salted": _LWW_OUT,
+        "cdc_final_state": """
+            SELECT user_id, event_id, value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "merge_upsert": """
+            WITH t AS (SELECT user_id, event_id, ts, event_type, value FROM (
+                     SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                     FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+                 s AS (SELECT user_id, event_id, ts, event_type, value FROM (
+                     SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                     FROM events WHERE event_id % 2 = 1) WHERE rn = 1),
+                 u AS (SELECT *, 0 AS prio FROM t UNION ALL SELECT *, 1 AS prio FROM s)
+            SELECT user_id, event_id, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC, prio DESC) rn FROM u)
+            WHERE rn = 1
+        """,
+        "retention_keep3": """
+            SELECT user_id, event_id, rn AS recency_rank
+            FROM (SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn <= 3
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "asof_join": """
+            WITH ec AS (SELECT user_id, ts, event_id, event_type,
+                               CASE WHEN event_type = 'click' THEN event_id END AS cid
+                        FROM events WHERE event_type IN ('click','error'))
+            SELECT user_id, event_id AS error_event_id, asof_click_id FROM (
+                SELECT user_id, event_id, event_type,
+                       last_value(cid IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+                FROM ec)
+            WHERE event_type = 'error'
+        """,
+        # --- relational core --------------------------------------------
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_region_revenue": """
+            SELECT r_name, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "semi_anti": """
+            SELECT c_nationkey,
+                   count(*) FILTER (has) AS with_orders,
+                   count(*) FILTER (NOT has) AS without_orders
+            FROM (SELECT c_custkey, c_nationkey,
+                         EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has
+                  FROM customer)
+            GROUP BY c_nationkey
+        """,
+        "union_except": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > 300000 OR o_orderdate >= '1997-01-01'
+            EXCEPT
+            SELECT o_custkey FROM orders GROUP BY o_custkey
+            HAVING max(o_orderdate) < '1995-01-01'
+        """,
+        "window_running": """
+            SELECT user_id, event_id,
+                   count(*) OVER w AS run_cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_sum
+            FROM events WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "rollup_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "scalar_suite": """
+            SELECT o_orderkey,
+                   CAST(o_orderkey AS VARCHAR) AS hex_roundtrip,
+                   lower(o_orderpriority) AS prio_lower,
+                   substring(o_orderstatus, 1, 1) AS status_c1,
+                   lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+                   nullif(trim(substring(o_orderstatus, 2, 1)), '') AS empty_normalized,
+                   len(string_split(o_orderpriority, '-')) AS prio_parts,
+                   string_split(o_orderpriority, '-')[1] AS prio_head
+            FROM orders WHERE o_orderkey % 97 = 0
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(json_extract_string(props, '$.k')) AS n_k
+            FROM events GROUP BY event_type
+        """,
+        "explode_word_counts": r"""
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+        """,
+        # --- training-data operators -------------------------------------
+        "dedup_exact_docs": """
+            SELECT min(doc_id) AS canonical_id, count(*) AS group_size
+            FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "token_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   len(text) AS n_chars_calc
+            FROM documents
+        """,
+        "quality_scores": rf"""
+            WITH f AS (
+              SELECT doc_id,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                     len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+                     len(text) - len(regexp_replace(text, '[.,;:!?"''()\[\]{{}}—-]', '', 'g')) AS n_punct,
+                     len(text) AS n_chars,
+                     len(regexp_extract_all(lower(text), '{stop_pat}')) AS n_stop
+              FROM documents)
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stopword_ratio,
+                   (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN n_words > 0 AND n_alpha / n_words BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN n_words > 0 AND n_stop / n_words >= 0.05 THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.2 THEN 0.25 ELSE 0.0 END
+                   ) AS quality_score
+            FROM f
+        """,
+        "lang_id": f"""
+            SELECT {_lang_case_sql()} AS lang_pred, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "jaccard_unigram_pairs": r"""
+            WITH w AS (SELECT DISTINCT doc_id, word FROM (
+                     SELECT doc_id, unnest(list_filter(
+                         string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS word
+                     FROM documents WHERE doc_id < 120)),
+                 s AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+                 i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                       FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM i JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.9
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, vec_id,
+                              list_dot_product(cv, qv)
+                              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS cos
+                       FROM c CROSS JOIN q)
+            SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+            WHERE rank <= 10
+        """,
+    }
