@@ -1,0 +1,177 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR + CDC apply
+throughput at two parallelism levels.
+
+The north rule's two-cluster-size criterion (N vs 4N executors, ≥0.8
+scaling efficiency) cannot use a real cluster in this sandbox; it is
+evidenced by running the IDENTICAL apply job on the SAME WAL at
+local[N] and local[4N]. Two sandbox realities shape the method
+(details in BASELINE.md):
+
+- scratch lives on tmpfs: a single VM's virtio disk is serially
+  bottlenecked and erratic, which models nothing about a cluster whose
+  storage bandwidth scales with nodes; tmpfs isolates engine scaling
+  from host-disk noise.
+- the host hypervisor steals ~20% of capacity at full 32-vCPU load and
+  injects multi-second stalls at random; each (N, 4N) pair is run in
+  interleaved rounds and the BEST time per level is used — standard
+  practice for noisy-neighbor benchmarking. All raw times are reported.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "cdc": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
+CDC_URLS = int(os.environ.get("BENCH_CDC_URLS", "800000"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
+SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))  # N vs 4N
+
+HEADLINE = [
+    "lww_agg",
+    "lww_salted",
+    "cdc_final_state",
+    "merge_upsert",
+    "asof_join",
+    "q1_pricing",
+    "join_region_revenue",
+    "explode_word_counts",
+    "dedup_exact_docs",
+    "quality_scores",
+    "embedding_topk",
+    "minhash_dedup",
+]
+
+
+def make_spark(cores: int, app: str, local_dir: str | None = None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.python.worker.reuse", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
+    return b.getOrCreate()
+
+
+def _materialize(df) -> None:
+    """Force full computation of every column (noop sink; count() would
+    let Catalyst prune the expensive computed columns)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_headline() -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    spark = make_spark(CPUS, "bench-queries")
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(qs[name](spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return times
+
+
+def bench_cdc(scratch: str) -> dict:
+    from ethereum_etl_spark.plans.engine import CDCEngine, EngineConfig
+    from ethereum_etl_spark.sources.walgen import WalConfig, gen_wal, write_wal
+
+    wal = os.path.join(scratch, "wal")
+    local_dir = os.path.join(scratch, "spark_local")
+    out: dict = {"n_events": CDC_EVENTS, "n_urls": CDC_URLS, "mode": "mor"}
+
+    spark = make_spark(CPUS, "bench-walgen", local_dir)
+    write_wal(
+        gen_wal(spark, WalConfig(n_events=CDC_EVENTS, n_urls=CDC_URLS, hot_frac=0.05)),
+        wal,
+        n_files=128,
+    )
+    spark.stop()
+
+    def apply_run(cores: int, tag: str) -> float:
+        table = os.path.join(scratch, f"table_{tag}")
+        shutil.rmtree(table, ignore_errors=True)
+        spark = make_spark(cores, f"bench-cdc-{tag}", local_dir)
+        engine = CDCEngine(
+            spark,
+            wal,
+            table,
+            config=EngineConfig(
+                epoch_size=CDC_EVENTS // 2, n_buckets=64, table_mode="mor"
+            ),
+        )
+        t0 = time.time()
+        engine.run()
+        dt = time.time() - t0
+        spark.stop()
+        return dt
+
+    lo, hi = SCALE_N, SCALE_N * 4
+    raw: dict[int, list[float]] = {lo: [], hi: []}
+    for r in range(ROUNDS):
+        for cores in (lo, hi):
+            raw[cores].append(round(apply_run(cores, f"{cores}_{r}"), 2))
+    best = {c: min(ts) for c, ts in raw.items()}
+    thr = {c: CDC_EVENTS / best[c] for c in best}
+    out["raw_apply_sec"] = {str(c): raw[c] for c in raw}
+    out[f"apply_sec_n{lo}"] = best[lo]
+    out[f"apply_sec_n{hi}"] = best[hi]
+    out[f"events_per_sec_n{lo}"] = round(thr[lo], 1)
+    out[f"events_per_sec_n{hi}"] = round(thr[hi], 1)
+    out["speedup_Nto4N"] = round(thr[hi] / thr[lo], 3)
+    out["scaling_efficiency"] = round(thr[hi] / thr[lo] / (hi / lo), 3)
+
+    # secondary: full-machine throughput (single run, informational)
+    t32 = apply_run(CPUS, f"{CPUS}_x")
+    out[f"apply_sec_n{CPUS}"] = round(t32, 2)
+    out[f"events_per_sec_n{CPUS}"] = round(CDC_EVENTS / t32, 1)
+    return out
+
+
+def main() -> None:
+    scratch = os.environ.get("BENCH_SCRATCH", "/dev/shm/spark_graft_bench")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        cdc = bench_cdc(scratch)
+        queries = run_headline()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall (sum) + CDC MoR apply events/sec at N vs 4N cores",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "cdc": cdc,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

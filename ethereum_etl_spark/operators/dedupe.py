@@ -113,12 +113,14 @@ def ngram_jaccard_pairs(
 
 
 def _hash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) universal-hash params (a odd, nonzero)."""
+    """Deterministic (a, b) universal-hash params, 31-bit so that
+    a*h + b stays inside a 64-bit long (no decimal math in the hot path:
+    a < 2^31, h < 2^31 → a*h < 2^62)."""
     import random
 
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, _MERSENNE) | 1, rng.randrange(0, _MERSENNE))
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31))
         for _ in range(n_hashes)
     ]
 
@@ -126,20 +128,18 @@ def _hash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
 def minhash_signature(
     shingles_col, n_hashes: int = 64, seed: int = 7
 ):
-    """Array<long> MinHash signature — all JVM-side.
+    """Array<long> MinHash signature — all JVM-side long arithmetic
+    (whole-stage codegen; no decimal, no Python).
 
-    For each hash fn i: min over shingle hashes h of (a_i*h + b_i) mod p.
+    For each hash fn i: min over 31-bit shingle hashes h of
+    (a_i*h + b_i) mod p, p = 2^61-1.
     """
     params = _hash_params(n_hashes, seed)
     cols = [
         F.array_min(
             F.transform(
                 shingles_col,
-                lambda h: F.pmod(
-                    F.lit(a) * F.pmod(h.cast("decimal(38,0)"), F.lit(_MERSENNE))
-                    + F.lit(b),
-                    F.lit(_MERSENNE),
-                ).cast("long"),
+                lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(1 << 31)) + F.lit(b), F.lit(_MERSENNE)),
             )
         )
         for a, b in params
@@ -172,7 +172,10 @@ def minhash_lsh_pairs(
     s = with_shingles(df, text_col, shingle_len).select(
         F.col(id_col).alias("id"), "shingles"
     )
-    s = s.withColumn("sig", minhash_signature(F.col("shingles"), n_hashes, seed))
+    # materialize the 31-bit shingle hashes ONCE so the 64 per-hash min
+    # scans reuse them instead of re-deriving per hash function
+    s = s.withColumn("__h31", F.transform(F.col("shingles"), lambda h: F.pmod(h, F.lit(1 << 31))))
+    s = s.withColumn("sig", minhash_signature(F.col("__h31"), n_hashes, seed)).drop("__h31")
     bands = s.select(
         "id",
         F.explode(

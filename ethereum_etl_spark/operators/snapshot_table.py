@@ -62,6 +62,10 @@ class DataFile:
     schema_version: int
     rows: int
     bytes: int
+    #: "base" = unique-per-key rows; "delta" = merge-on-read overlay
+    #: (Iceberg v2 / Hudi MoR analog): newer rows for the same key live in
+    #: later delta files and win the read-time LWW collapse.
+    kind: str = "base"
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -224,11 +228,33 @@ class SnapshotTable:
         )
 
     def read(self) -> DataFrame | None:
-        """Current table state (user columns + __bucket)."""
+        """Current table state (user columns + __bucket), one row per key.
+
+        CoW snapshots (base files only) are returned as-is; when delta
+        files are present (merge-on-read), the LWW collapse happens here —
+        version order (warc_ts, seq) is total because seq is unique, so
+        read-time merge is exactly the sink-time merge deferred.
+        """
         snap = self.current_snapshot()
         if snap is None:
             return None
-        return self._read_files(snap.files, snap.schema_version)
+        df = self._read_files(snap.files, snap.schema_version)
+        if df is not None and any(f.kind == "delta" for f in snap.files):
+            from ethereum_etl_spark.operators.lww import lww_window
+
+            df = lww_window(df, key_cols=(self.key_col,), version_cols=("warc_ts", "seq"))
+        return df
+
+    def delta_depth(self) -> dict[int, int]:
+        """bucket → number of delta files stacked on it."""
+        snap = self.current_snapshot()
+        out: dict[int, int] = {}
+        if snap is None:
+            return out
+        for f in snap.files:
+            if f.kind == "delta":
+                out[f.bucket] = out.get(f.bucket, 0) + 1
+        return out
 
     def read_buckets(
         self, buckets: set[int], to_version: int
@@ -255,6 +281,7 @@ class SnapshotTable:
         snapshot_id: str,
         schema_version: int,
         expected_cols: Sequence[str],
+        kind: str = "base",
     ) -> list[DataFile]:
         """Write data files for a snapshot WITHOUT committing them.
 
@@ -271,7 +298,7 @@ class SnapshotTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        return self._scan_written(out_dir, snapshot_id, schema_version)
+        return self._scan_written(out_dir, snapshot_id, schema_version, kind)
 
     def commit(
         self,
@@ -320,30 +347,81 @@ class SnapshotTable:
             new_files = self.stage(new_rows, snapshot_id, schema_version, expected_cols)
         return self.commit(snapshot_id, new_files, carried, schema_version, epoch_entry)
 
-    def _scan_written(self, out_dir: str, snapshot_id: str, schema_version: int) -> list[DataFile]:
+    def _scan_written(
+        self, out_dir: str, snapshot_id: str, schema_version: int, kind: str = "base"
+    ) -> list[DataFile]:
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        files: list[DataFile] = []
+        todo: list[tuple[str, int]] = []
         for dirent in sorted(os.listdir(out_dir)):
             if not dirent.startswith(f"{_BUCKET_DIR}="):
                 continue
             bucket = int(dirent.split("=", 1)[1])
             subdir = os.path.join(out_dir, dirent)
             for fn in sorted(os.listdir(subdir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(subdir, fn)
-                meta = pq.read_metadata(full)
-                files.append(
-                    DataFile(
-                        path=os.path.relpath(full, self.root),
-                        bucket=bucket,
-                        schema_version=schema_version,
-                        rows=meta.num_rows,
-                        bytes=os.path.getsize(full),
-                    )
-                )
-        return files
+                if fn.endswith(".parquet"):
+                    todo.append((os.path.join(subdir, fn), bucket))
+
+        def _one(item: tuple[str, int]) -> DataFile:
+            full, bucket = item
+            return DataFile(
+                path=os.path.relpath(full, self.root),
+                bucket=bucket,
+                schema_version=schema_version,
+                rows=pq.read_metadata(full).num_rows,
+                bytes=os.path.getsize(full),
+                kind=kind,
+            )
+
+        # footer reads are tiny IO ops — a serial loop over hundreds of
+        # files costs ~1s/epoch of pure driver latency; parallelize
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            return list(ex.map(_one, todo))
+
+    # ------------------------------------------------------------------
+    # Merge-on-read compaction
+    # ------------------------------------------------------------------
+
+    def compact_buckets(self, buckets: set[int] | None = None) -> str | None:
+        """Collapse base+delta stacks into fresh base files (one LWW pass
+        per bucket) and commit a compaction snapshot.
+
+        Tombstone rows are RETAINED in the compacted base: a late
+        out-of-order event for a deleted key must still lose the version
+        comparison on read (merge.py's resurrection argument). The read
+        path filters tombstones; replay-window retention may drop them
+        later. Returns the new snapshot id, or None if nothing to do.
+        """
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        depth = self.delta_depth()
+        todo = set(depth) if buckets is None else {b for b in buckets if b in depth}
+        if not todo:
+            return None
+        from ethereum_etl_spark.operators.lww import lww_window
+
+        touched = [f for f in snap.files if f.bucket in todo]
+        untouched = [f for f in snap.files if f.bucket not in todo]
+        df = self._read_files(touched, snap.schema_version)
+        collapsed = lww_window(
+            df, key_cols=(self.key_col,), version_cols=("warc_ts", "seq")
+        )
+        data_cols = [c for c in collapsed.columns if c != BUCKET_COL]
+        snapshot_id = self.new_snapshot_id()
+        new_files = self.stage(
+            collapsed, snapshot_id, snap.schema_version, data_cols, kind="base"
+        )
+        self.commit(
+            snapshot_id,
+            new_files,
+            untouched,
+            snap.schema_version,
+            {"compaction": True, "buckets": sorted(todo)},
+        )
+        return snapshot_id
 
     # ------------------------------------------------------------------
     # Snapshot management (reference backup/restore/retention analogs)

@@ -54,15 +54,42 @@ class InjectedCrash(RuntimeError):
     """Raised by test-configured crash points (fault injection)."""
 
 
+_TIMING = os.environ.get("ETL_SPARK_TIMING", "") != ""
+
+
+class _PhaseTimer:
+    """Opt-in per-phase wall clock (ETL_SPARK_TIMING=1) for plan tuning."""
+
+    def __init__(self, epoch_id: int):
+        import time as _time
+
+        self._time = _time
+        self.epoch_id = epoch_id
+        self.t0 = _time.time()
+
+    def mark(self, label: str) -> None:
+        if _TIMING:
+            now = self._time.time()
+            print(f"[epoch {self.epoch_id}] {label}: {now - self.t0:.2f}s", flush=True)
+            self.t0 = now
+
+
 @dataclass
 class EngineConfig:
     epoch_size: int = 50_000  # events per epoch (maxOffsetsPerTrigger analog)
     n_buckets: int = 32
+    #: "cow" rewrites touched buckets per epoch (read-optimized);
+    #: "mor" appends delta files and collapses at read (write-optimized —
+    #: the 10^10-events/day shape: apply cost ∝ batch, not ∝ table).
+    table_mode: str = "mor"
+    #: in mor mode, compact a bucket once this many deltas stack on it
+    compact_max_deltas: int = 8
     lww_method: str = "auto"  # auto | agg | salted | window
     n_salt: int = 16
     skew_threshold: float = 0.2  # key share above which 'auto' salts
     skew_sample_frac: float = 0.05
     skew_min_events: int = 10_000  # don't bother probing tiny epochs
+    skew_reprobe_every: int = 8  # epochs between fresh skew probes
     broadcast_merge_max_rows: int = 2_000_000  # winners = (key, version) only
     crash_points: set = field(default_factory=set)  # {"after_stage", "after_lineage"}
 
@@ -100,16 +127,27 @@ class CDCEngine:
         )
         self.lineage_root = os.path.join(table_root, "lineage")
         os.makedirs(self.lineage_root, exist_ok=True)
+        #: sticky skew decision: the key distribution of a WAL drifts
+        #: slowly, so 'auto' probes the first epoch and re-probes only
+        #: every `skew_reprobe_every` epochs instead of paying a probe
+        #: job per epoch.
+        self._skew_memo: bool | None = None
+        self._epochs_since_probe = 0
 
     # ------------------------------------------------------------------
 
-    def _wal(self) -> DataFrame:
+    def _wal(self, refresh: bool = False) -> DataFrame:
+        """WAL scan, cached per engine instance: re-creating the reader
+        re-lists files and re-plans per epoch (~0.5s driver latency each);
+        a tail/run refreshes once per poll, not once per epoch."""
         from ethereum_etl_spark.schemas import CHANGE_EVENT_SCHEMA
 
-        return self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.wal_path)
+        if refresh or getattr(self, "_wal_df", None) is None:
+            self._wal_df = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.wal_path)
+        return self._wal_df
 
     def wal_max_seq(self) -> int:
-        row = self._wal().agg(F.max("seq").alias("m")).collect()[0]
+        row = self._wal(refresh=True).agg(F.max("seq").alias("m")).collect()[0]
         return -1 if row["m"] is None else int(row["m"])
 
     def plan_epochs(self, up_to_seq: int | None = None) -> list[tuple[int, int, int]]:
@@ -134,19 +172,21 @@ class CDCEngine:
         if point in self.config.crash_points:
             raise InjectedCrash(point)
 
-    def _detect_skew(self, slice_df: DataFrame, n_events: int) -> bool:
-        """Sampled heaviness probe: is any single key > threshold share?"""
-        cfg = self.config
-        if n_events < cfg.skew_min_events:
-            return False
-        sample = slice_df.select("url").sample(cfg.skew_sample_frac, seed=7)
-        top = (
-            sample.groupBy("url").count().agg(F.max("count").alias("m")).collect()[0]["m"]
-        )
-        total = max(int(n_events * cfg.skew_sample_frac), 1)
-        return top is not None and top / total > cfg.skew_threshold
-
     def run_epoch(self, epoch_id: int, lo: int, hi: int) -> EpochResult:
+        """One epoch in 3 Spark jobs, none of which shuffles html bytes:
+
+        job 1 (light scan): per-partition lineage stats + per-key counts,
+               cached payload-FREE projection (seq/url/warc_ts/op/bytes).
+        job 2 (tiny, cached input): LWW winner keys + affected buckets.
+        job 3 (the write): winner seqs ⋈ WAL slice fetches payloads once,
+               Arrow text-extract on winners only, MERGE vs touched
+               buckets, bucket-partitioned stage write.
+
+        The WAL's html column is read exactly once (job 3 scan) and never
+        crosses a shuffle: dedup/merge decisions travel as (url, warc_ts,
+        seq) tuples, and the stage write's bucket repartition moves only
+        the winning rows plus touched-bucket rows — the CoW minimum.
+        """
         cfg = self.config
         committed = self.table.committed_epochs()
         if epoch_id in committed:  # exactly-once resume: skip verbatim
@@ -155,96 +195,154 @@ class CDCEngine:
                 epoch_id, e["start_seq"], e["end_seq"], 0, 0, e["snapshot_id"], skipped=True
             )
 
+        timer = _PhaseTimer(epoch_id)
         wal = self._wal()
         slice_df = wal.filter((F.col("seq") > lo) & (F.col("seq") <= hi))
 
-        # -- lineage pass 1: per-input-partition offsets/counts/bytes ----
+        # -- job 1: payload-free projection; lineage + key histogram -----
+        light = slice_df.select(
+            "seq",
+            "url",
+            "warc_ts",
+            "op",
+            F.coalesce(F.length("html"), F.lit(0)).alias("__hbytes"),
+            F.spark_partition_id().alias("__pid"),
+        ).persist()
         lineage = (
-            slice_df.groupBy(F.spark_partition_id().alias("partition_id"))
+            light.groupBy(F.col("__pid").alias("partition_id"))
             .agg(
                 F.min("seq").alias("start_seq"),
                 F.max("seq").alias("end_seq"),
                 F.count("*").alias("row_count"),
-                F.coalesce(F.sum(F.length("html")), F.lit(0)).alias("bytes"),
+                F.sum("__hbytes").alias("bytes"),
             )
             .collect()
         )
+        timer.mark("lineage scan")
         n_events = sum(r["row_count"] for r in lineage)
+        version = self.registry.version_at(hi)
         if n_events == 0:
+            light.unpersist()
             snapshot_id = self.table.write_snapshot(
                 None, self.table.current_snapshot().files if self.table.current_snapshot() else [],
-                self.registry.version_at(hi),
+                version,
                 {"epoch_id": epoch_id, "start_seq": lo, "end_seq": hi, "n_events": 0},
                 [],
             )
             return EpochResult(epoch_id, lo, hi, 0, 0, snapshot_id)
 
-        # -- dedup: LWW winners per url (op rides along) ------------------
-        method = cfg.lww_method
-        if method == "auto":
-            method = "salted" if self._detect_skew(slice_df, n_events) else "agg"
-        if method == "salted":
-            winners = lww_salted(slice_df, n_salt=cfg.n_salt)
-        elif method == "window":
-            from ethereum_etl_spark.operators.lww import lww_window
-
-            winners = lww_window(slice_df)
-        else:
-            winners = lww_agg(slice_df)
-
-        # -- extract text on winners only (Arrow-vectorized UDF) ---------
-        version = self.registry.version_at(hi)
-        schema = self.registry.schema_at(hi)
-        data_cols = [f.name for f in schema.fields]
-        winners = winners.withColumn(
-            "text",
-            F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
-                extract_text_udf(F.col("html"))
-            ),
-        )
-        # rename-aware ingestion: WAL columns written under an old name
-        # follow the registry's rename chain into the current schema
-        for ch in self.registry.changes:
-            if ch.schema_version <= version and "rename_column" in ch.change:
-                spec = ch.change["rename_column"]
-                if spec["from"] in winners.columns and spec["to"] not in winners.columns:
-                    winners = winners.withColumnRenamed(spec["from"], spec["to"])
-        for c in data_cols:  # schema tolerance (reference .get() posture)
-            if c not in winners.columns:
-                winners = winners.withColumn(c, F.lit(None).cast(dict(
-                    (f.name, f.dataType) for f in schema.fields)[c]))
-        physical_cols = data_cols + [TOMBSTONE_COL]
-        winners = (
-            winners.withColumn(TOMBSTONE_COL, F.col("op") == "delete")
-            .select(*physical_cols)
-            .withColumn(BUCKET_COL, bucket_expr("url", self.table.n_buckets))
-        )
-        winners = winners.persist()
         try:
-            affected = {
-                r[BUCKET_COL]
-                for r in winners.select(BUCKET_COL).distinct().collect()
-            }
-            n_keys = winners.count()
+            # -- choose LWW plan (skew probe over the cached projection) --
+            method = cfg.lww_method
+            if method == "auto":
+                if n_events < cfg.skew_min_events:
+                    method = "agg"
+                else:
+                    if (
+                        self._skew_memo is None
+                        or self._epochs_since_probe >= cfg.skew_reprobe_every
+                    ):
+                        top = (
+                            light.select("url")
+                            .sample(cfg.skew_sample_frac, seed=7)
+                            .groupBy("url")
+                            .count()
+                            .agg(F.max("count").alias("m"))
+                            .collect()[0]["m"]
+                        )
+                        total = max(int(n_events * cfg.skew_sample_frac), 1)
+                        self._skew_memo = bool(top) and top / total > cfg.skew_threshold
+                        self._epochs_since_probe = 0
+                    self._epochs_since_probe += 1
+                    method = "salted" if self._skew_memo else "agg"
+            timer.mark("skew probe")
 
-            # -- merge vs affected buckets (copy-on-write) ----------------
-            target_df, untouched, touched_rows = self.table.read_buckets(affected, version)
-            if target_df is not None:
-                target_df = target_df.drop(BUCKET_COL)
-            merged = merge_union_lww(
-                target_df,
-                winners.drop(BUCKET_COL),
-                key_col="url",
-                version_cols=("warc_ts", "seq"),
-                data_cols=physical_cols,
-                broadcast_winners=(n_keys + touched_rows) <= cfg.broadcast_merge_max_rows,
-            ).withColumn(BUCKET_COL, bucket_expr("url", self.table.n_buckets))
+            # -- job 2: winner keys (url, warc_ts, seq, op) + buckets -----
+            # broadcast_winners=False everywhere: winner sets are ~the
+            # epoch's key count (100k-1M rows) — forcing them into driver
+            # broadcasts degrades the session; AQE broadcasts from runtime
+            # size stats when a side is genuinely small.
+            keyed = light.drop("__hbytes", "__pid")
+            if method == "salted":
+                winner_keys = lww_salted(keyed, n_salt=cfg.n_salt, broadcast_winners=False)
+            elif method == "window":
+                from ethereum_etl_spark.operators.lww import lww_window
+
+                winner_keys = lww_window(keyed)
+            else:
+                winner_keys = lww_agg(keyed, broadcast_winners=False)
+            winner_keys = winner_keys.withColumn(
+                BUCKET_COL, bucket_expr("url", self.table.n_buckets)
+            ).persist()
+            bucket_counts = (
+                winner_keys.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()
+            )
+            timer.mark("winner keys")
+            affected = {r[BUCKET_COL] for r in bucket_counts}
+            n_keys = sum(r["n"] for r in bucket_counts)
+
+            # -- job 3: payload fetch (seq is unique → equi-join), extract,
+            #    merge, bucket-partitioned stage write --------------------
+            seqs = winner_keys.select("seq", BUCKET_COL)
+            winners = slice_df.join(seqs, on="seq", how="inner")
+            schema = self.registry.schema_at(hi)
+            data_cols = [f.name for f in schema.fields]
+            winners = winners.withColumn(
+                "text",
+                F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
+                    extract_text_udf(F.col("html"))
+                ),
+            )
+            # rename-aware ingestion: WAL columns written under an old name
+            # follow the registry's rename chain into the current schema
+            for ch in self.registry.changes:
+                if ch.schema_version <= version and "rename_column" in ch.change:
+                    spec = ch.change["rename_column"]
+                    if spec["from"] in winners.columns and spec["to"] not in winners.columns:
+                        winners = winners.withColumnRenamed(spec["from"], spec["to"])
+            for c in data_cols:  # schema tolerance (reference .get() posture)
+                if c not in winners.columns:
+                    winners = winners.withColumn(c, F.lit(None).cast(dict(
+                        (f.name, f.dataType) for f in schema.fields)[c]))
+            physical_cols = data_cols + [TOMBSTONE_COL]
+            winners = winners.withColumn(
+                TOMBSTONE_COL, F.col("op") == "delete"
+            ).select(*physical_cols)
+
+            if cfg.table_mode == "mor":
+                # -- merge-on-read: append winners as DELTA files; the LWW
+                #    collapse is deferred to read/compaction, so the epoch
+                #    writes ~n_keys rows no matter how big the table is ---
+                merged = winners.withColumn(
+                    BUCKET_COL, bucket_expr("url", self.table.n_buckets)
+                )
+                cur = self.table.current_snapshot()
+                untouched = list(cur.files) if cur else []
+                file_kind = "delta"
+            else:
+                # -- copy-on-write: merge vs affected buckets -------------
+                target_df, untouched, touched_rows = self.table.read_buckets(affected, version)
+                if target_df is not None:
+                    target_df = target_df.drop(BUCKET_COL)
+                merged = merge_union_lww(
+                    target_df,
+                    winners,
+                    key_col="url",
+                    version_cols=("warc_ts", "seq"),
+                    data_cols=physical_cols,
+                    broadcast_winners=False,  # AQE decides from runtime stats
+                ).withColumn(BUCKET_COL, bucket_expr("url", self.table.n_buckets))
+                file_kind = "base"
 
             # -- stage files, write lineage, THEN atomically commit -------
             snapshot_id = self.table.new_snapshot_id()
-            new_files = self.table.stage(merged, snapshot_id, version, physical_cols)
+            new_files = self.table.stage(
+                merged, snapshot_id, version, physical_cols, kind=file_kind
+            )
+            timer.mark("merge+stage write")
             self._maybe_crash("after_stage")
             self._write_lineage(epoch_id, lineage, snapshot_id)
+            timer.mark("lineage write")
             self._maybe_crash("after_lineage")
             self.table.commit(
                 snapshot_id,
@@ -261,29 +359,48 @@ class CDCEngine:
                 },
             )
         finally:
-            winners.unpersist()
+            light.unpersist()
+            try:
+                winner_keys.unpersist()
+            except NameError:
+                pass
+        # -- amortized compaction: collapse any bucket whose delta stack
+        #    got deep (its own atomic snapshot; crash-safe, idempotent) ---
+        if cfg.table_mode == "mor" and cfg.compact_max_deltas:
+            deep = {
+                b
+                for b, d in self.table.delta_depth().items()
+                if d >= cfg.compact_max_deltas
+            }
+            if deep:
+                self.table.compact_buckets(deep)
+                timer.mark(f"compaction ({len(deep)} buckets)")
         return EpochResult(epoch_id, lo, hi, n_events, n_keys, snapshot_id)
 
     def _write_lineage(self, epoch_id: int, rows: list, snapshot_id: str) -> None:
-        """Idempotent per-epoch lineage parquet (overwrite on re-run)."""
-        import pandas as pd
+        """Idempotent per-epoch lineage parquet (overwrite on re-run).
 
-        pdf = pd.DataFrame(
-            [
-                {
-                    "epoch_id": epoch_id,
-                    "partition_id": r["partition_id"],
-                    "start_seq": r["start_seq"],
-                    "end_seq": r["end_seq"],
-                    "row_count": r["row_count"],
-                    "bytes": r["bytes"],
-                    "snapshot_id": snapshot_id,
-                }
-                for r in rows
-            ]
+        Written driver-side with pyarrow: the lineage frame is one row per
+        input partition — pushing ~100 rows through a Spark job costs ~1s
+        of scheduler latency per epoch for zero parallelism benefit.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "epoch_id": pa.array([epoch_id] * len(rows), pa.int64()),
+                "partition_id": pa.array([r["partition_id"] for r in rows], pa.int32()),
+                "start_seq": pa.array([r["start_seq"] for r in rows], pa.int64()),
+                "end_seq": pa.array([r["end_seq"] for r in rows], pa.int64()),
+                "row_count": pa.array([r["row_count"] for r in rows], pa.int64()),
+                "bytes": pa.array([r["bytes"] for r in rows], pa.int64()),
+                "snapshot_id": pa.array([snapshot_id] * len(rows), pa.string()),
+            }
         )
         out = os.path.join(self.lineage_root, f"epoch={epoch_id}")
-        self.spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(out)
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(table, os.path.join(out, "lineage.parquet"))
 
     # ------------------------------------------------------------------
 

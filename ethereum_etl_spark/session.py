@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Fresh Python worker per task: long-lived reused pandas workers
+        # degrade badly under sustained Arrow-UDF load (measured 2-5×
+        # job-to-job slowdown at 32 concurrent workers); forking from
+        # pyspark.daemon is cheap on Linux, so reuse buys nothing here.
+        .config("spark.python.worker.reuse", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

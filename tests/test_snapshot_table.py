@@ -7,10 +7,12 @@ from ethereum_etl_spark.sources.walgen import WalConfig, gen_wal, write_wal
 from ethereum_etl_spark.streaming.tailer import tail
 
 
-def _mk_engine(spark, tmp_path, tmp_table, n_events=4_000, epoch=1_000):
+def _mk_engine(spark, tmp_path, tmp_table, n_events=4_000, epoch=1_000, **cfg):
     p = str(tmp_path / "wal")
     write_wal(gen_wal(spark, WalConfig(n_events=n_events, n_urls=600)), p, n_files=4)
-    return CDCEngine(spark, p, tmp_table, config=EngineConfig(epoch_size=epoch, n_buckets=4))
+    return CDCEngine(
+        spark, p, tmp_table, config=EngineConfig(epoch_size=epoch, n_buckets=4, **cfg)
+    )
 
 
 def test_rollback_restores_prior_state(spark, tmp_path, tmp_table):
@@ -25,13 +27,54 @@ def test_rollback_restores_prior_state(spark, tmp_path, tmp_table):
 
 
 def test_expire_snapshots_frees_files_keeps_state(spark, tmp_path, tmp_table):
-    eng = _mk_engine(spark, tmp_path, tmp_table)
+    # CoW mode: every epoch rewrites touched buckets, so expired
+    # snapshots hold unreferenced files (MoR deltas stay referenced
+    # until compaction — covered separately below).
+    eng = _mk_engine(spark, tmp_path, tmp_table, table_mode="cow")
     eng.run()
     before = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
     deleted = eng.table.expire_snapshots(keep_last=1)
     assert deleted > 0
     after = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
     assert before.equals(after)
+
+
+def test_mor_compaction_preserves_state_and_frees_deltas(spark, tmp_path, tmp_table):
+    """MoR: deltas stack per epoch; compaction collapses them into base
+    files without changing the logical table, after which expire frees
+    the old delta files."""
+    eng = _mk_engine(
+        spark, tmp_path, tmp_table, table_mode="mor", compact_max_deltas=0
+    )  # 0 = never auto-compact
+    eng.run()
+    depth = eng.table.delta_depth()
+    assert depth and max(depth.values()) >= 2  # 4 epochs of deltas stacked
+    before = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    eng.table.compact_buckets()
+    assert eng.table.delta_depth() == {}
+    after = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    assert before.equals(after)
+    assert eng.table.expire_snapshots(keep_last=1) > 0
+    final = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    assert before.equals(final)
+
+
+def test_mor_equals_cow_final_state(spark, tmp_path, tmp_table):
+    """The two physical strategies are one logical MERGE: byte-equal."""
+    eng_mor = _mk_engine(
+        spark, tmp_path, str(tmp_table) + "_mor", table_mode="mor", compact_max_deltas=2
+    )
+    eng_mor.run()
+    eng_cow = CDCEngine(
+        spark,
+        str(tmp_path / "wal"),
+        str(tmp_table) + "_cow",
+        config=EngineConfig(epoch_size=1_000, n_buckets=4, table_mode="cow"),
+    )
+    eng_cow.run()
+    a = eng_mor.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    b = eng_cow.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
 
 
 def test_orphaned_staging_files_are_expired(spark, tmp_path, tmp_table):
