@@ -70,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("show", help="table / ledger summary")
     _add_engine_args(s)
 
+    c = sub.add_parser("compact", help="collapse merge-on-read delta stacks into base files")
+    _add_engine_args(c)
+    c.add_argument("--expire-keep-last", type=int, default=None,
+                   help="after compacting, expire snapshots keeping the last K")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -109,6 +114,21 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         print(json.dumps({"epochs": len(results)}))
+        return 0
+
+    if args.cmd == "compact":
+        depth_before = engine.table.delta_depth()
+        sid = engine.table.compact_buckets()
+        expired = (
+            engine.table.expire_snapshots(keep_last=args.expire_keep_last)
+            if args.expire_keep_last is not None
+            else 0
+        )
+        print(json.dumps({
+            "delta_layers_before": sum(depth_before.values()),
+            "snapshot": sid,
+            "files_expired": expired,
+        }))
         return 0
 
     if args.cmd == "show":

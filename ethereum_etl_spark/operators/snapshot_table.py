@@ -246,15 +246,19 @@ class SnapshotTable:
         return df
 
     def delta_depth(self) -> dict[int, int]:
-        """bucket → number of delta files stacked on it."""
+        """bucket → number of delta LAYERS (distinct staging snapshots)
+        stacked on it; -1 = spanning deltas. Layers, not files: one epoch
+        may emit many files but adds exactly one read-amplification
+        layer, which is what compaction thresholds should count."""
         snap = self.current_snapshot()
-        out: dict[int, int] = {}
         if snap is None:
-            return out
+            return {}
+        layers: dict[int, set[str]] = {}
         for f in snap.files:
             if f.kind == "delta":
-                out[f.bucket] = out.get(f.bucket, 0) + 1
-        return out
+                snap_dir = f.path.split(os.sep)[1] if os.sep in f.path else f.path
+                layers.setdefault(f.bucket, set()).add(snap_dir)
+        return {b: len(s) for b, s in layers.items()}
 
     def read_buckets(
         self, buckets: set[int], to_version: int
@@ -264,6 +268,11 @@ class SnapshotTable:
         snap = self.current_snapshot()
         if snap is None:
             return None, [], 0
+        if any(f.bucket == -1 for f in snap.files):
+            raise ValueError(
+                "table has spanning (unbucketed) delta files; run "
+                "compact_buckets() before copy-on-write operations"
+            )
         touched = [f for f in snap.files if f.bucket in buckets]
         untouched = [f for f in snap.files if f.bucket not in buckets]
         return self._read_files(touched, to_version), untouched, sum(f.rows for f in touched)
@@ -299,6 +308,45 @@ class SnapshotTable:
             .parquet(out_dir)
         )
         return self._scan_written(out_dir, snapshot_id, schema_version, kind)
+
+    def stage_spanning(
+        self,
+        new_rows: DataFrame,
+        snapshot_id: str,
+        schema_version: int,
+        expected_cols: Sequence[str],
+    ) -> list[DataFile]:
+        """Write UNPARTITIONED delta files (bucket = -1, 'spanning').
+
+        The Hudi-log-file shape: a delta batch is written straight out of
+        the producing stage with NO shuffle — payload bytes stream from
+        scan to file. Spanning deltas serve reads (which union everything
+        anyway) and are re-bucketed by the next compaction; bucket-level
+        file pruning applies only to the compacted base.
+        """
+        out_dir = os.path.join(self.root, "data", snapshot_id)
+        new_rows.select(*expected_cols).write.mode("overwrite").parquet(out_dir)
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = [
+            os.path.join(out_dir, fn)
+            for fn in sorted(os.listdir(out_dir))
+            if fn.endswith(".parquet")
+        ]
+
+        def _one(full: str) -> DataFile:
+            return DataFile(
+                path=os.path.relpath(full, self.root),
+                bucket=-1,
+                schema_version=schema_version,
+                rows=pq.read_metadata(full).num_rows,
+                bytes=os.path.getsize(full),
+                kind="delta",
+            )
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            return [f for f in ex.map(_one, paths) if f.rows > 0]
 
     def commit(
         self,
@@ -403,11 +451,22 @@ class SnapshotTable:
             return None
         from ethereum_etl_spark.operators.lww import lww_window
 
-        touched = [f for f in snap.files if f.bucket in todo]
-        untouched = [f for f in snap.files if f.bucket not in todo]
+        if -1 in todo:
+            # spanning deltas hold rows of every bucket: compaction is
+            # whole-table (that's the amortized CoW rewrite, paid once
+            # per compact_max_deltas epochs instead of per epoch)
+            touched, untouched = list(snap.files), []
+        else:
+            touched = [f for f in snap.files if f.bucket in todo]
+            untouched = [f for f in snap.files if f.bucket not in todo]
         df = self._read_files(touched, snap.schema_version)
         collapsed = lww_window(
             df, key_cols=(self.key_col,), version_cols=("warc_ts", "seq")
+        )
+        # spanning delta rows carry no bucket (written shuffle-free);
+        # recompute from the key so the compacted base is fully bucketed
+        collapsed = collapsed.withColumn(
+            BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)
         )
         data_cols = [c for c in collapsed.columns if c != BUCKET_COL]
         snapshot_id = self.new_snapshot_id()

@@ -283,7 +283,13 @@ class CDCEngine:
 
             # -- job 3: payload fetch (seq is unique → equi-join), extract,
             #    merge, bucket-partitioned stage write --------------------
-            seqs = winner_keys.select("seq", BUCKET_COL)
+            # payload fetch: the seq list is ~8 bytes/key — force the
+            # broadcast while it fits comfortably so the WAL slice (with
+            # html) never shuffles; past that, a shuffle join on seq moves
+            # the payload exactly once (the unavoidable cost at that size)
+            seqs = winner_keys.select("seq")
+            if n_keys <= cfg.broadcast_merge_max_rows:
+                seqs = F.broadcast(seqs)
             winners = slice_df.join(seqs, on="seq", how="inner")
             schema = self.registry.schema_at(hi)
             data_cols = [f.name for f in schema.fields]
@@ -310,15 +316,14 @@ class CDCEngine:
             ).select(*physical_cols)
 
             if cfg.table_mode == "mor":
-                # -- merge-on-read: append winners as DELTA files; the LWW
-                #    collapse is deferred to read/compaction, so the epoch
-                #    writes ~n_keys rows no matter how big the table is ---
-                merged = winners.withColumn(
-                    BUCKET_COL, bucket_expr("url", self.table.n_buckets)
-                )
+                # -- merge-on-read: append winners as SPANNING delta files
+                #    (Hudi-log-file shape). The whole epoch write is then
+                #    shuffle-free: scan → broadcast-join → Arrow UDF →
+                #    files. LWW collapse is deferred to read/compaction,
+                #    so the epoch writes ~n_keys rows no matter how big
+                #    the table is; compaction re-buckets periodically. ---
                 cur = self.table.current_snapshot()
                 untouched = list(cur.files) if cur else []
-                file_kind = "delta"
             else:
                 # -- copy-on-write: merge vs affected buckets -------------
                 target_df, untouched, touched_rows = self.table.read_buckets(affected, version)
@@ -336,9 +341,14 @@ class CDCEngine:
 
             # -- stage files, write lineage, THEN atomically commit -------
             snapshot_id = self.table.new_snapshot_id()
-            new_files = self.table.stage(
-                merged, snapshot_id, version, physical_cols, kind=file_kind
-            )
+            if cfg.table_mode == "mor":
+                new_files = self.table.stage_spanning(
+                    winners, snapshot_id, version, physical_cols
+                )
+            else:
+                new_files = self.table.stage(
+                    merged, snapshot_id, version, physical_cols, kind=file_kind
+                )
             timer.mark("merge+stage write")
             self._maybe_crash("after_stage")
             self._write_lineage(epoch_id, lineage, snapshot_id)
