@@ -316,6 +316,54 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregation (§2.9 streaming windows;
+    Spark `window()` is the streaming-native form of this group-by)."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "5 minutes")
+    return ev.groupBy("event_type", win.start.alias("ws")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    ).select(
+        "event_type", F.unix_timestamp("ws").alias("win_start"), "n", "sum_value"
+    )
+
+
+def q_intersect_users(spark, sf_dir):
+    """Set intersection (§2.7): users who both clicked and purchased."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+def q_range_frame(spark, sf_dir):
+    """RANGE frame window (§2.5, frame specs unused by the reference but
+    part of the Spark surface): 10-minute trailing sum per user."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("win_sum"),
+    )
+
+
+def q_jaccard_3gram_pairs(spark, sf_dir):
+    """Exact 3-gram shingle Jaccard — validates the shingle pipeline the
+    MinHash-LSH path is built on against an independent SQL formulation."""
+    from ethereum_etl_spark.operators.dedupe import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return ngram_jaccard_pairs(d, shingle_len=3, threshold=0.02).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_explode_word_counts(spark, sf_dir):
     """explode/unnest (P2/P3/P5): top-50 words across documents."""
     d = _t(spark, sf_dir, "documents")
@@ -485,6 +533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_suite": q_scalar_suite,
         "json_extract": q_json_extract,
         "explode_word_counts": q_explode_word_counts,
+        "tumbling_window": q_tumbling_window,
+        "intersect_users": q_intersect_users,
+        "range_frame": q_range_frame,
+        "jaccard_3gram_pairs": q_jaccard_3gram_pairs,
         # training-data operators
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -664,6 +716,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS cnt
             FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
             WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+        """,
+        "tumbling_window": """
+            SELECT event_type,
+                   CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "intersect_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "range_frame": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                       PARTITION BY user_id ORDER BY epoch(ts)
+                       RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum
+            FROM events WHERE user_id < 5
+        """,
+        "jaccard_3gram_pairs": r"""
+            WITH d AS (SELECT doc_id, list_filter(
+                         string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS w
+                       FROM documents WHERE doc_id < 60),
+                 sh0 AS (SELECT doc_id,
+                         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                              ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+                         END AS shingles FROM d),
+                 w AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh0),
+                 s AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+                 i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                       FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM i JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.02
         """,
         # --- training-data operators -------------------------------------
         "dedup_exact_docs": """

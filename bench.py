@@ -33,8 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
-CDC_URLS = int(os.environ.get("BENCH_CDC_URLS", "800000"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "6000000"))
+CDC_URLS = int(os.environ.get("BENCH_CDC_URLS", "1200000"))
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))  # N vs 4N
 
