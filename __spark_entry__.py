@@ -316,6 +316,47 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_event_dispatch_union(spark, sf_dir):
+    """Signature-dispatch + union-schema normalize (P7-P9 analog: the
+    reference matches topics[0] against event signatures, decodes each
+    variant, and normalizes into one union schema — here: per-type
+    filter + when/otherwise projections + unionByName)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.lit("interaction").alias("kind"),
+        F.col("value").alias("amount_in"),
+        F.lit(0.0).alias("amount_out"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.lit("commerce").alias("kind"),
+        F.when(F.col("value") > 50, F.col("value")).otherwise(F.lit(0.0)).alias("amount_in"),
+        F.when(F.col("value") <= 50, F.col("value")).otherwise(F.lit(0.0)).alias("amount_out"),
+    )
+    return clicks.unionByName(buys)
+
+
+def q_enrich_events_dim(spark, sf_dir):
+    """Lookup-enrich against a dimension (J1-J4 analog of the per-key
+    RPC balance/metadata fetch): broadcast left join, drop-on-miss
+    variant = inner join (reference drops pools whose lookup failed)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_acctbal"
+    )
+    return (
+        ev.join(F.broadcast(dim), on="user_id", how="inner")
+        .groupBy("c_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
 def q_tumbling_window(spark, sf_dir):
     """Tumbling event-time window aggregation (§2.9 streaming windows;
     Spark `window()` is the streaming-native form of this group-by)."""
@@ -506,6 +547,17 @@ def q_multimodal(spark, sf_dir):
     )
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (mapInPandas row-expanding stage;
+    ffmpeg decode is a deterministic stub, the Spark side is real)."""
+    from ethereum_etl_spark.functions.multimodal import gen_media, sample_frames
+
+    media = gen_media(spark, n=200)
+    return sample_frames(media, every_ms=2000).select(
+        "media_id", "frame_idx", "frame_ts_ms"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -533,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_suite": q_scalar_suite,
         "json_extract": q_json_extract,
         "explode_word_counts": q_explode_word_counts,
+        "event_dispatch_union": q_event_dispatch_union,
+        "enrich_events_dim": q_enrich_events_dim,
         "tumbling_window": q_tumbling_window,
         "intersect_users": q_intersect_users,
         "range_frame": q_range_frame,
@@ -552,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "multimodal": q_multimodal,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -716,6 +771,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS cnt
             FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
             WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+        """,
+        "event_dispatch_union": """
+            SELECT event_id, user_id, 'interaction' AS kind,
+                   value AS amount_in, 0.0 AS amount_out
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, user_id, 'commerce' AS kind,
+                   CASE WHEN value > 50 THEN value ELSE 0.0 END AS amount_in,
+                   CASE WHEN value <= 50 THEN value ELSE 0.0 END AS amount_out
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "enrich_events_dim": """
+            SELECT c_name, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_name
         """,
         "tumbling_window": """
             SELECT event_type,

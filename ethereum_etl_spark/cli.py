@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--expire-keep-last", type=int, default=None,
                    help="after compacting, expire snapshots keeping the last K")
 
+    e = sub.add_parser("export", help="export current table state to CSV "
+                       "(reference S9: COPY table TO path — "
+                       "src/repositories/sqlite/base.py:177-185)")
+    _add_engine_args(e)
+    e.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -129,6 +135,21 @@ def main(argv: list[str] | None = None) -> int:
             "snapshot": sid,
             "files_expired": expired,
         }))
+        return 0
+
+    if args.cmd == "export":
+        from pyspark.sql import functions as F
+
+        df = engine.read_table()
+        if df is None:
+            print(json.dumps({"exported": 0}))
+            return 0
+        # binary html is not CSV-representable; export its hex and length
+        out_df = df.withColumn("html_sha", F.sha2(F.col("html"), 256)).withColumn(
+            "html_len", F.length("html")
+        ).drop("html")
+        out_df.write.mode("overwrite").option("header", True).csv(args.out)
+        print(json.dumps({"exported": out_df.count(), "path": args.out}))
         return 0
 
     if args.cmd == "show":

@@ -55,6 +55,16 @@ def test_add_column_mid_stream(spark, tmp_path, tmp_table):
     # the evolution actually matters: both null and non-null langs exist
     assert got["lang"].isna().any() and got["lang"].notna().any()
 
+    # compaction across schema versions: v1 delta files upgrade to v2
+    # during the rewrite and the logical state is unchanged
+    eng.table.compact_buckets()
+    after = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    after["html"] = after["html"].map(lambda b: bytes(b) if b is not None else None)
+    pd.testing.assert_frame_equal(
+        after[["url", "warc_ts", "seq", "html", "text", "lang"]], exp, check_dtype=False
+    )
+    assert {f.schema_version for f in eng.table.current_snapshot().files} == {2}
+
 
 def test_rename_column_round_trip(spark, tmp_path, tmp_table):
     """v2 adds `lang`, v3 renames it to `language`; v1/v2 files upgrade on read."""
