@@ -61,10 +61,12 @@ def make_spark(cores: int, app: str, local_dir: str | None = None):
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.default.parallelism", str(cores * 3))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.python.worker.reuse", "false")
+        .config("spark.python.daemon.module", "ethereum_etl_spark.daemon_preload")
         .config("spark.ui.enabled", "false")
     )
     if local_dir:

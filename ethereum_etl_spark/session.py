@@ -38,7 +38,7 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
-        .config("spark.default.parallelism", str(n))
+        .config("spark.default.parallelism", str(n * 3))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # maxPartitionBytes meters ON-DISK bytes and snappy-parquet web
+        # text compresses 10-30x, so a fixed 128 MB would collapse a
+        # multi-GB (uncompressed) scan to a handful of tasks. Spark sizes
+        # splits as min(maxPartitionBytes, max(openCost, bytes/parallelism))
+        # — defaultParallelism = 3x cores (above) keeps scan task count
+        # proportional to cores regardless of compression ratio.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
@@ -55,6 +61,10 @@ def get_spark(
         # job-to-job slowdown at 32 concurrent workers); forking from
         # pyspark.daemon is cheap on Linux, so reuse buys nothing here.
         .config("spark.python.worker.reuse", "false")
+        # preload pandas/pyarrow/numpy + UDF modules in the daemon so each
+        # fresh forked worker inherits warm imports copy-on-write (~1s/task
+        # saved; without this, no-reuse pays a pandas import per task)
+        .config("spark.python.daemon.module", "ethereum_etl_spark.daemon_preload")
     )
     if extra_conf:
         for k, v in extra_conf.items():
