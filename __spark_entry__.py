@@ -316,6 +316,50 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_graph_bfs(spark, sf_dir):
+    """Bounded BFS as iterative joins (J5 analog — the reference's ≤5-hop
+    Cypher token-graph walk). Edges derived deterministically from events;
+    oracle is a recursive CTE."""
+    from ethereum_etl_spark.operators.graph import bfs_min_hops
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.pmod(F.get_json_object(F.col("props"), "$.k").cast("long"), F.lit(150)).alias("dst"),
+    ).distinct()
+    return bfs_min_hops(edges, source=0, max_hops=4)
+
+
+def q_date_suite(spark, sf_dir):
+    """Date/time scalar inventory (§2.8 timestamp handling)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 113 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start_epoch"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+def q_array_suite(spark, sf_dir):
+    """Array function inventory (§2.8: size/element_at/slice/contains/sort)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.concat_ws(" ", F.slice(words, 2, 3)).alias("words_2_4"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.element_at(F.array_sort(words), 1).alias("min_word"),
+    )
+
+
 def q_event_dispatch_union(spark, sf_dir):
     """Signature-dispatch + union-schema normalize (P7-P9 analog: the
     reference matches topics[0] against event signatures, decodes each
@@ -585,6 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_suite": q_scalar_suite,
         "json_extract": q_json_extract,
         "explode_word_counts": q_explode_word_counts,
+        "graph_bfs": q_graph_bfs,
+        "date_suite": q_date_suite,
+        "array_suite": q_array_suite,
         "event_dispatch_union": q_event_dispatch_union,
         "enrich_events_dim": q_enrich_events_dim,
         "tumbling_window": q_tumbling_window,
@@ -771,6 +818,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS cnt
             FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
             WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+        """,
+        "graph_bfs": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT user_id AS src,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS dst
+                FROM events),
+            r(node, hops) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+                WHERE r.hops < 4)
+            SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM r GROUP BY node
+        """,
+        "date_suite": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+                   CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+            FROM orders WHERE o_orderkey % 113 = 0
+        """,
+        "array_suite": r"""
+            WITH d AS (SELECT doc_id, list_filter(
+                         string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+                       FROM documents WHERE doc_id % 7 = 0)
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   w[1] AS first_word,
+                   w[-1] AS last_word,
+                   array_to_string(w[2:4], ' ') AS words_2_4,
+                   list_contains(w, 'spark') AS has_spark,
+                   list_sort(w)[1] AS min_word
+            FROM d
         """,
         "event_dispatch_union": """
             SELECT event_id, user_id, 'interaction' AS kind,

@@ -1,0 +1,49 @@
+"""Iterative graph traversal — the J5 analog.
+
+Reference analog (SURVEY.md J5): the Memgraph Cypher BFS that walks the
+token-swap graph ≤5 hops for price discovery
+(src/tasks/extract/pool.py:183-290, BFS query at :202-213). The property
+graph itself is out of CDC scope; the *computational pattern* — bounded
+breadth-first expansion as an iterative self-join — is reproduced here
+Spark-first: each hop is one equi-join + anti-join against the visited
+set, and the driver loop is bounded by ``max_hops`` (the reference uses
+5), so the lazy plan stays shallow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, hops) of minimum hop counts from `source` within max_hops.
+
+    BFS order guarantees first-discovery == min-hops, so no re-ranking
+    pass is needed. Each frontier is small (bounded by node count); the
+    per-hop anti-join against visited keeps work monotonically shrinking.
+    """
+    spark = edges.sparkSession
+    start = spark.createDataFrame([(source, 0)], "node: long, hops: long")
+    visited = start
+    frontier = start
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src_col])
+            .select(F.col(dst_col).cast("long").alias("node"), F.lit(h).cast("long").alias("hops"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+        )
+        nxt = nxt.persist()
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
