@@ -33,6 +33,7 @@ def bfs_min_hops(
     start = spark.createDataFrame([(source, 0)], "node: long, hops: long")
     visited = start
     frontier = start
+    cached: list = []  # every persisted frontier; all released before return
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(edges, frontier["node"] == edges[src_col])
@@ -41,9 +42,17 @@ def bfs_min_hops(
             .join(visited.select("node"), on="node", how="left_anti")
         )
         nxt = nxt.persist()
+        cached.append(nxt)
         if nxt.count() == 0:
-            nxt.unpersist()
             break
         visited = visited.unionByName(nxt)
         frontier = nxt
-    return visited
+    # cut lineage before releasing the cached frontiers: returning a lazy
+    # plan over unpersisted parents would either leak executor memory (no
+    # unpersist) or recompute the whole BFS on first use (eager
+    # unpersist). localCheckpoint materializes the result executor-side
+    # (never through the driver), then every frontier cache is released.
+    out = visited.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out

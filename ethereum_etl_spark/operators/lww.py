@@ -67,9 +67,15 @@ def lww_agg(
     df: DataFrame,
     key_cols: Sequence[str] = DEFAULT_KEYS,
     version_cols: Sequence[str] = DEFAULT_VERSION,
-    broadcast_winners: bool = True,
+    broadcast_winners: bool = False,
 ) -> DataFrame:
-    """Partial-agg winners, then payload semi-join. Payload never shuffles."""
+    """Partial-agg winners, then payload semi-join. Payload never shuffles.
+
+    ``broadcast_winners`` defaults to False: the winner set is one row
+    per key, which at real key counts is a driver OOM if force-broadcast;
+    AQE promotes the join to broadcast from runtime size stats when the
+    winner side is genuinely small. Pass True only when the caller knows
+    its key count is bounded."""
     winners = (
         df.groupBy(*key_cols)
         .agg(F.max(_version_struct(version_cols)).alias("__v"))
@@ -85,7 +91,7 @@ def lww_salted(
     key_cols: Sequence[str] = DEFAULT_KEYS,
     version_cols: Sequence[str] = DEFAULT_VERSION,
     n_salt: int = 16,
-    broadcast_winners: bool = True,
+    broadcast_winners: bool = False,
 ) -> DataFrame:
     """Two-phase salted LWW for hot-key skew.
 

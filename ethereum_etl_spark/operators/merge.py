@@ -47,9 +47,13 @@ def merge_union_lww(
     key_col: str,
     version_cols: Sequence[str],
     data_cols: Sequence[str],
-    broadcast_winners: bool = True,
+    broadcast_winners: bool = False,
 ) -> DataFrame:
     """MERGE as LWW over (target ∪ batch) — the payload-light plan.
+
+    ``broadcast_winners`` defaults to False (winners = one row per key =
+    a driver OOM at real key counts if force-broadcast; AQE decides from
+    runtime stats). Opt in only with a known-bounded key count.
 
     Upsert-with-version-guard is exactly "latest version per key wins"
     over the union of current rows and batch rows. Physical win: the

@@ -18,6 +18,8 @@ every notification triggers the same per-range pipeline as backfill.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,17 +27,32 @@ from ethereum_etl_spark.plans.engine import CDCEngine, EpochResult
 from ethereum_etl_spark.schemas import CHANGE_EVENT_SCHEMA
 
 
+@dataclass
+class StreamHandle:
+    """Continuous-mode handle: the live StreamingQuery plus the epoch
+    results applied so far (appended by the foreachBatch body as batches
+    land). ``stop()`` stops the query; ``results`` stays readable."""
+
+    query: object  # pyspark.sql.streaming.StreamingQuery
+    results: list[EpochResult] = field(default_factory=list)
+
+    def stop(self) -> None:
+        self.query.stop()
+
+
 def stream_apply(
     engine: CDCEngine,
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
-) -> list[EpochResult]:
+) -> list[EpochResult] | StreamHandle:
     """Run the WAL through Structured Streaming into the engine.
 
     With ``available_now`` the query drains everything currently in the
-    WAL and stops (the backfill-then-exit shape); otherwise it runs until
-    externally stopped. Returns the epoch results applied.
+    WAL and stops (the backfill-then-exit shape) and the epoch results
+    are returned directly; otherwise the query keeps running and a
+    :class:`StreamHandle` is returned so the caller can observe applied
+    epochs (``handle.results``) and stop the query (``handle.stop()``).
     """
     spark = engine.spark
     results: list[EpochResult] = []
@@ -49,6 +66,11 @@ def stream_apply(
         # The batch tells us how far the WAL has advanced; the ENGINE
         # re-reads its own seq-pruned slices so epoch boundaries (and
         # therefore the exactly-once ledger) are identical to replay.
+        # The engine's cached WAL reader froze its file listing at first
+        # use — refresh it here, or epochs covering files appended since
+        # then would scan 0 rows and commit an empty epoch that advances
+        # the high-watermark past unread events (silent data loss).
+        engine._wal(refresh=True)
         row = batch_df.agg(F.max("seq").alias("m")).collect()[0]
         if row["m"] is None:
             return
@@ -63,6 +85,5 @@ def stream_apply(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-    else:
-        q = writer.start()
-    return results
+        return results
+    return StreamHandle(query=writer.start(), results=results)

@@ -40,3 +40,37 @@ def test_stream_apply_equals_oracle_and_redelivery_noop(spark, tmp_path, tmp_tab
     got2 = eng2.read_table().toPandas().sort_values("url").reset_index(drop=True)
     got2["html"] = got2["html"].map(lambda b: bytes(b) if b is not None else None)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_stream_apply_sees_wal_files_appended_after_engine_cached_reader(
+    spark, tmp_path, tmp_table
+):
+    """Regression: the engine caches its WAL reader (file listing frozen at
+    first use). A stream batch covering files appended later must refresh
+    that reader — otherwise the new epochs read 0 rows, still commit, and
+    the high-watermark silently advances past unread events."""
+    p = str(tmp_path / "wal")
+    full = gen_wal(spark, WalConfig(n_events=4_000, n_urls=600))
+    (
+        full.filter("seq < 2500").repartitionByRange(2, "seq")
+        .sortWithinPartitions("seq").write.mode("append").parquet(p)
+    )
+    eng = CDCEngine(
+        spark, p, tmp_table, config=EngineConfig(epoch_size=1_000, n_buckets=4)
+    )
+    r1 = eng.run()  # caches the WAL reader with only the first files listed
+    assert sum(r.n_events for r in r1) == 2_500
+
+    (
+        full.filter("seq >= 2500").repartitionByRange(2, "seq")
+        .sortWithinPartitions("seq").write.mode("append").parquet(p)
+    )
+    r2 = stream_apply(eng, str(tmp_path / "ckpt"))
+    assert sum(r.n_events for r in r2) == 1_500  # 0 here == the data-loss bug
+
+    got = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    got["html"] = got["html"].map(lambda b: bytes(b) if b is not None else None)
+    exp = expected_final_state(spark.read.parquet(p).toPandas()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["url", "warc_ts", "seq", "html", "text"]], exp, check_dtype=False
+    )
