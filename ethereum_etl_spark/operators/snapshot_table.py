@@ -48,11 +48,17 @@ from ethereum_etl_spark.schemas import SchemaRegistry
 BUCKET_COL = "__bucket"
 TOMBSTONE_COL = "__deleted"
 _BUCKET_DIR = "__bucket_dir"
+_GROUP_DIR = "__group_dir"
 
 
 def bucket_expr(key_col: str, n_buckets: int):
     """Identity-stable hash bucket for a key (same fn everywhere)."""
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def group_of_bucket(bucket: int, n_groups: int) -> int:
+    """Compaction group a base bucket belongs to (modulo mapping)."""
+    return bucket % n_groups
 
 
 @dataclass
@@ -66,6 +72,11 @@ class DataFile:
     #: (Iceberg v2 / Hudi MoR analog): newer rows for the same key live in
     #: later delta files and win the read-time LWW collapse.
     kind: str = "base"
+    #: compaction group for delta files (bucket = -1 on those): deltas are
+    #: partitioned MAP-SIDE into `n_delta_groups` groups by key hash, so
+    #: compaction rewrites one group (≈ table/n_groups) at a time instead
+    #: of the whole table. -1 = base file or legacy spanning delta.
+    group: int = -1
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -94,17 +105,20 @@ class SnapshotTable:
         registry: SchemaRegistry,
         key_col: str = "url",
         n_buckets: int = 32,
+        n_delta_groups: int = 8,
     ):
         self.spark = spark
         self.root = root
         self.registry = registry
         self.key_col = key_col
         self.n_buckets = n_buckets
+        self.n_delta_groups = n_delta_groups
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         # bucketing params are a property of the TABLE, not the session:
-        # a mismatched n_buckets would break copy-on-write file pruning,
-        # so the persisted value always wins.
+        # a mismatched n_buckets would break copy-on-write file pruning
+        # (and a mismatched n_delta_groups would misalign delta files with
+        # their compaction groups), so the persisted values always win.
         meta_path = os.path.join(root, "table_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -114,10 +128,18 @@ class SnapshotTable:
                     f"table at {root} is keyed by {meta['key_col']!r}, not {key_col!r}"
                 )
             self.n_buckets = meta["n_buckets"]
+            self.n_delta_groups = meta.get("n_delta_groups", n_delta_groups)
         else:
             tmp = meta_path + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
-                json.dump({"key_col": key_col, "n_buckets": n_buckets}, f)
+                json.dump(
+                    {
+                        "key_col": key_col,
+                        "n_buckets": n_buckets,
+                        "n_delta_groups": n_delta_groups,
+                    },
+                    f,
+                )
             os.replace(tmp, meta_path)
 
     # ------------------------------------------------------------------
@@ -227,6 +249,28 @@ class SnapshotTable:
             ]
         )
 
+    def _collapse_payload_light(self, df: DataFrame) -> DataFrame:
+        """LWW collapse that never shuffles or sorts the payload.
+
+        Winner seqs are computed from a column-pruned projection (key,
+        warc_ts, seq) — Catalyst pushes the 3-column ReadSchema down to
+        the parquet scans, so the winner aggregation shuffles ~24-byte
+        tuples with map-side partial aggregation. Payload rows are then
+        fetched by an equi-join on ``seq`` (unique per WAL event, so the
+        join is exact); AQE promotes it to broadcast when the winner set
+        is small, and at worst the payload crosses the wire once,
+        unsorted — never through a window sort. Versus ``lww_window``
+        over full rows this removes the whole-table payload shuffle+sort
+        every MoR read paid between compactions.
+        """
+        winners = (
+            df.select(self.key_col, "warc_ts", "seq")
+            .groupBy(self.key_col)
+            .agg(F.max(F.struct("warc_ts", "seq")).alias("__v"))
+            .select(F.col("__v.seq").alias("seq"))
+        )
+        return df.join(winners, on="seq", how="inner").select(*df.columns)
+
     def read(self) -> DataFrame | None:
         """Current table state (user columns + __bucket), one row per key.
 
@@ -240,16 +284,15 @@ class SnapshotTable:
             return None
         df = self._read_files(snap.files, snap.schema_version)
         if df is not None and any(f.kind == "delta" for f in snap.files):
-            from ethereum_etl_spark.operators.lww import lww_window
-
-            df = lww_window(df, key_cols=(self.key_col,), version_cols=("warc_ts", "seq"))
+            df = self._collapse_payload_light(df)
         return df
 
     def delta_depth(self) -> dict[int, int]:
-        """bucket → number of delta LAYERS (distinct staging snapshots)
-        stacked on it; -1 = spanning deltas. Layers, not files: one epoch
-        may emit many files but adds exactly one read-amplification
-        layer, which is what compaction thresholds should count."""
+        """compaction group → number of delta LAYERS (distinct staging
+        snapshots) stacked on it; -1 = legacy spanning deltas. Layers,
+        not files: one epoch may emit many files but adds exactly one
+        read-amplification layer, which is what compaction thresholds
+        should count."""
         snap = self.current_snapshot()
         if snap is None:
             return {}
@@ -257,8 +300,8 @@ class SnapshotTable:
         for f in snap.files:
             if f.kind == "delta":
                 snap_dir = f.path.split(os.sep)[1] if os.sep in f.path else f.path
-                layers.setdefault(f.bucket, set()).add(snap_dir)
-        return {b: len(s) for b, s in layers.items()}
+                layers.setdefault(f.group, set()).add(snap_dir)
+        return {g: len(s) for g, s in layers.items()}
 
     def read_buckets(
         self, buckets: set[int], to_version: int
@@ -268,10 +311,10 @@ class SnapshotTable:
         snap = self.current_snapshot()
         if snap is None:
             return None, [], 0
-        if any(f.bucket == -1 for f in snap.files):
+        if any(f.kind == "delta" for f in snap.files):
             raise ValueError(
-                "table has spanning (unbucketed) delta files; run "
-                "compact_buckets() before copy-on-write operations"
+                "table has merge-on-read delta files; run "
+                "compact_groups() before copy-on-write operations"
             )
         touched = [f for f in snap.files if f.bucket in buckets]
         untouched = [f for f in snap.files if f.bucket not in buckets]
@@ -320,9 +363,9 @@ class SnapshotTable:
 
         The Hudi-log-file shape: a delta batch is written straight out of
         the producing stage with NO shuffle — payload bytes stream from
-        scan to file. Spanning deltas serve reads (which union everything
-        anyway) and are re-bucketed by the next compaction; bucket-level
-        file pruning applies only to the compacted base.
+        scan to file. Kept for compatibility; prefer
+        :meth:`stage_delta_grouped`, which keeps the shuffle-free write
+        but bounds compaction to one group instead of the whole table.
         """
         out_dir = os.path.join(self.root, "data", snapshot_id)
         new_rows.select(*expected_cols).write.mode("overwrite").parquet(out_dir)
@@ -347,6 +390,38 @@ class SnapshotTable:
 
         with ThreadPoolExecutor(max_workers=16) as ex:
             return [f for f in ex.map(_one, paths) if f.rows > 0]
+
+    def stage_delta_grouped(
+        self,
+        new_rows: DataFrame,
+        snapshot_id: str,
+        schema_version: int,
+        expected_cols: Sequence[str],
+    ) -> list[DataFile]:
+        """Write delta files partitioned MAP-SIDE into compaction groups.
+
+        Same shuffle-free property as spanning deltas — the group id is a
+        pure expression of the key hash computed in the producing stage,
+        and ``partitionBy`` fans rows into group subdirectories with no
+        repartition, so payload bytes stream from scan straight to files.
+        Unlike spanning deltas, compaction then rewrites ONE group
+        (≈ table/n_delta_groups) at a time instead of the whole table —
+        the per-epoch maintenance job stays bounded no matter how big the
+        table grows. Trade-off: each write task may emit up to
+        n_delta_groups files, so keep n_delta_groups modest (8-16).
+        """
+        out_dir = os.path.join(self.root, "data", snapshot_id)
+        group = F.pmod(bucket_expr(self.key_col, self.n_buckets), F.lit(self.n_delta_groups))
+        (
+            new_rows.select(*expected_cols)
+            .withColumn(_GROUP_DIR, group)
+            .write.partitionBy(_GROUP_DIR)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        return self._scan_written(
+            out_dir, snapshot_id, schema_version, kind="delta", dir_prefix=_GROUP_DIR
+        )
 
     def commit(
         self,
@@ -396,7 +471,12 @@ class SnapshotTable:
         return self.commit(snapshot_id, new_files, carried, schema_version, epoch_entry)
 
     def _scan_written(
-        self, out_dir: str, snapshot_id: str, schema_version: int, kind: str = "base"
+        self,
+        out_dir: str,
+        snapshot_id: str,
+        schema_version: int,
+        kind: str = "base",
+        dir_prefix: str = _BUCKET_DIR,
     ) -> list[DataFile]:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -404,37 +484,49 @@ class SnapshotTable:
 
         todo: list[tuple[str, int]] = []
         for dirent in sorted(os.listdir(out_dir)):
-            if not dirent.startswith(f"{_BUCKET_DIR}="):
+            if not dirent.startswith(f"{dir_prefix}="):
                 continue
-            bucket = int(dirent.split("=", 1)[1])
+            val = int(dirent.split("=", 1)[1])
             subdir = os.path.join(out_dir, dirent)
             for fn in sorted(os.listdir(subdir)):
                 if fn.endswith(".parquet"):
-                    todo.append((os.path.join(subdir, fn), bucket))
+                    todo.append((os.path.join(subdir, fn), val))
 
         def _one(item: tuple[str, int]) -> DataFile:
-            full, bucket = item
+            full, val = item
             return DataFile(
                 path=os.path.relpath(full, self.root),
-                bucket=bucket,
+                bucket=val if dir_prefix == _BUCKET_DIR else -1,
                 schema_version=schema_version,
                 rows=pq.read_metadata(full).num_rows,
                 bytes=os.path.getsize(full),
                 kind=kind,
+                group=val if dir_prefix == _GROUP_DIR else -1,
             )
 
         # footer reads are tiny IO ops — a serial loop over hundreds of
         # files costs ~1s/epoch of pure driver latency; parallelize
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            return list(ex.map(_one, todo))
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            files = list(ex.map(_one, todo))
+        # a task that saw no rows for a group still creates no file, but
+        # empty parquet parts can appear at tiny scales — drop them
+        return [f for f in files if f.rows > 0]
 
     # ------------------------------------------------------------------
     # Merge-on-read compaction
     # ------------------------------------------------------------------
 
-    def compact_buckets(self, buckets: set[int] | None = None) -> str | None:
-        """Collapse base+delta stacks into fresh base files (one LWW pass
-        per bucket) and commit a compaction snapshot.
+    def compact_groups(self, groups: set[int] | None = None) -> str | None:
+        """Collapse base+delta stacks of the given compaction groups into
+        fresh base files and commit a compaction snapshot.
+
+        A group holds every base bucket with ``bucket % n_delta_groups ==
+        group`` plus the delta files written into that group, so all rows
+        of any key in the group are covered — the LWW collapse is exact
+        and the job reads/writes ≈ table/n_delta_groups, never the whole
+        table (unless legacy spanning deltas are present, which force a
+        full rewrite). The collapse itself is payload-light: winner seqs
+        from a pruned projection, payload fetched by equi-join.
 
         Tombstone rows are RETAINED in the compacted base: a late
         out-of-order event for a deleted key must still lose the version
@@ -446,25 +538,26 @@ class SnapshotTable:
         if snap is None:
             return None
         depth = self.delta_depth()
-        todo = set(depth) if buckets is None else {b for b in buckets if b in depth}
+        todo = set(depth) if groups is None else {g for g in groups if g in depth}
         if not todo:
             return None
-        from ethereum_etl_spark.operators.lww import lww_window
-
-        if -1 in todo:
-            # spanning deltas hold rows of every bucket: compaction is
-            # whole-table (that's the amortized CoW rewrite, paid once
-            # per compact_max_deltas epochs instead of per epoch)
+        if -1 in depth:
+            # legacy spanning deltas hold rows of every group: a partial
+            # compaction would duplicate their keys — force whole-table
             touched, untouched = list(snap.files), []
+            todo = set(depth)
         else:
-            touched = [f for f in snap.files if f.bucket in todo]
-            untouched = [f for f in snap.files if f.bucket not in todo]
+            def _is_touched(f: DataFile) -> bool:
+                if f.kind == "delta":
+                    return f.group in todo
+                return group_of_bucket(f.bucket, self.n_delta_groups) in todo
+
+            touched = [f for f in snap.files if _is_touched(f)]
+            untouched = [f for f in snap.files if not _is_touched(f)]
         df = self._read_files(touched, snap.schema_version)
-        collapsed = lww_window(
-            df, key_cols=(self.key_col,), version_cols=("warc_ts", "seq")
-        )
-        # spanning delta rows carry no bucket (written shuffle-free);
-        # recompute from the key so the compacted base is fully bucketed
+        collapsed = self._collapse_payload_light(df)
+        # delta rows carry no bucket (written shuffle-free); recompute
+        # from the key so the compacted base is fully bucketed
         collapsed = collapsed.withColumn(
             BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)
         )
@@ -478,9 +571,12 @@ class SnapshotTable:
             new_files,
             untouched,
             snap.schema_version,
-            {"compaction": True, "buckets": sorted(todo)},
+            {"compaction": True, "groups": sorted(todo)},
         )
         return snapshot_id
+
+    #: former name (pre-grouped-delta API); argument is now a GROUP set
+    compact_buckets = compact_groups
 
     # ------------------------------------------------------------------
     # Snapshot management (reference backup/restore/retention analogs)

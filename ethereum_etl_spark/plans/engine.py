@@ -82,8 +82,16 @@ class EngineConfig:
     #: "mor" appends delta files and collapses at read (write-optimized —
     #: the 10^10-events/day shape: apply cost ∝ batch, not ∝ table).
     table_mode: str = "mor"
-    #: in mor mode, compact a bucket once this many deltas stack on it
+    #: mor deltas are fanned map-side into this many compaction groups,
+    #: so one compaction job rewrites ≈ table/n_delta_groups, not the
+    #: whole table (persisted per-table; the table's value wins)
+    n_delta_groups: int = 8
+    #: in mor mode, compact a group once this many delta layers stack on it
     compact_max_deltas: int = 8
+    #: cap compaction work per epoch: at most this many groups collapse
+    #: after one epoch (deepest first) — keeps per-epoch maintenance
+    #: latency bounded; remaining deep groups drain on later epochs
+    compact_groups_per_epoch: int = 2
     lww_method: str = "auto"  # auto | agg | salted | window
     n_salt: int = 16
     skew_threshold: float = 0.2  # key share above which 'auto' salts
@@ -124,6 +132,7 @@ class CDCEngine:
             registry=self.registry,
             key_col="url",
             n_buckets=self.config.n_buckets,
+            n_delta_groups=self.config.n_delta_groups,
         )
         self.lineage_root = os.path.join(table_root, "lineage")
         os.makedirs(self.lineage_root, exist_ok=True)
@@ -199,7 +208,12 @@ class CDCEngine:
         wal = self._wal()
         slice_df = wal.filter((F.col("seq") > lo) & (F.col("seq") <= hi))
 
-        # -- job 1: payload-free projection; lineage + key histogram -----
+        # -- job 1: payload-free projection; lineage + global key estimate
+        #    in ONE action: rollup(__pid) emits the per-partition lineage
+        #    rows plus a grand-total row (pid null) whose
+        #    approx_count_distinct(url) feeds the broadcast decision —
+        #    saving a separate winner-count job per epoch (driver serial
+        #    cost is the scaling-efficiency tax at high core counts).
         light = slice_df.select(
             "seq",
             "url",
@@ -208,18 +222,22 @@ class CDCEngine:
             F.coalesce(F.length("html"), F.lit(0)).alias("__hbytes"),
             F.spark_partition_id().alias("__pid"),
         ).persist()
-        lineage = (
-            light.groupBy(F.col("__pid").alias("partition_id"))
+        stats = (
+            light.rollup(F.col("__pid").alias("partition_id"))
             .agg(
                 F.min("seq").alias("start_seq"),
                 F.max("seq").alias("end_seq"),
                 F.count("*").alias("row_count"),
                 F.sum("__hbytes").alias("bytes"),
+                F.approx_count_distinct("url").alias("n_keys_est"),
             )
             .collect()
         )
         timer.mark("lineage scan")
-        n_events = sum(r["row_count"] for r in lineage)
+        lineage = [r for r in stats if r["partition_id"] is not None]
+        total = next((r for r in stats if r["partition_id"] is None), None)
+        n_events = int(total["row_count"]) if total is not None else 0
+        n_keys_est = int(total["n_keys_est"]) if total is not None else 0
         version = self.registry.version_at(hi)
         if n_events == 0:
             light.unpersist()
@@ -231,6 +249,7 @@ class CDCEngine:
             )
             return EpochResult(epoch_id, lo, hi, 0, 0, snapshot_id)
 
+        winner_persisted = False
         try:
             # -- choose LWW plan (skew probe over the cached projection) --
             method = cfg.lww_method
@@ -257,7 +276,7 @@ class CDCEngine:
                     method = "salted" if self._skew_memo else "agg"
             timer.mark("skew probe")
 
-            # -- job 2: winner keys (url, warc_ts, seq, op) + buckets -----
+            # -- winner keys (url, warc_ts, seq, op) ----------------------
             # broadcast_winners=False everywhere: winner sets are ~the
             # epoch's key count (100k-1M rows) — forcing them into driver
             # broadcasts degrades the session; AQE broadcasts from runtime
@@ -271,18 +290,28 @@ class CDCEngine:
                 winner_keys = lww_window(keyed)
             else:
                 winner_keys = lww_agg(keyed, broadcast_winners=False)
-            winner_keys = winner_keys.withColumn(
-                BUCKET_COL, bucket_expr("url", self.table.n_buckets)
-            ).persist()
-            bucket_counts = (
-                winner_keys.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()
-            )
-            timer.mark("winner keys")
-            affected = {r[BUCKET_COL] for r in bucket_counts}
-            n_keys = sum(r["n"] for r in bucket_counts)
+            winner_persisted = False
+            if cfg.table_mode == "mor":
+                # MoR needs no affected-bucket set and no exact key count
+                # up front (delta file footers give n_keys for free after
+                # the write), so the winner plan feeds the payload join
+                # directly off the cached projection — zero extra jobs.
+                affected = set()
+                n_keys = n_keys_est
+            else:
+                winner_keys = winner_keys.withColumn(
+                    BUCKET_COL, bucket_expr("url", self.table.n_buckets)
+                ).persist()
+                winner_persisted = True
+                bucket_counts = (
+                    winner_keys.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()
+                )
+                timer.mark("winner keys")
+                affected = {r[BUCKET_COL] for r in bucket_counts}
+                n_keys = sum(r["n"] for r in bucket_counts)
 
-            # -- job 3: payload fetch (seq is unique → equi-join), extract,
-            #    merge, bucket-partitioned stage write --------------------
+            # -- the write job: payload fetch (seq is unique → equi-join),
+            #    extract, merge, stage write ------------------------------
             # payload fetch: the seq list is ~8 bytes/key — force the
             # broadcast while it fits comfortably so the WAL slice (with
             # html) never shuffles; past that, a shuffle join on seq moves
@@ -316,12 +345,13 @@ class CDCEngine:
             ).select(*physical_cols)
 
             if cfg.table_mode == "mor":
-                # -- merge-on-read: append winners as SPANNING delta files
-                #    (Hudi-log-file shape). The whole epoch write is then
-                #    shuffle-free: scan → broadcast-join → Arrow UDF →
-                #    files. LWW collapse is deferred to read/compaction,
-                #    so the epoch writes ~n_keys rows no matter how big
-                #    the table is; compaction re-buckets periodically. ---
+                # -- merge-on-read: append winners as GROUPED delta files
+                #    (Hudi-log-file shape, fanned map-side into compaction
+                #    groups). The whole epoch write is shuffle-free: scan →
+                #    broadcast-join → Arrow UDF → files. LWW collapse is
+                #    deferred to read/compaction, so the epoch writes
+                #    ~n_keys rows no matter how big the table is; each
+                #    compaction then rewrites one group, not the table. ---
                 cur = self.table.current_snapshot()
                 untouched = list(cur.files) if cur else []
             else:
@@ -342,9 +372,10 @@ class CDCEngine:
             # -- stage files, write lineage, THEN atomically commit -------
             snapshot_id = self.table.new_snapshot_id()
             if cfg.table_mode == "mor":
-                new_files = self.table.stage_spanning(
+                new_files = self.table.stage_delta_grouped(
                     winners, snapshot_id, version, physical_cols
                 )
+                n_keys = sum(f.rows for f in new_files)  # exact, from footers
             else:
                 new_files = self.table.stage(
                     merged, snapshot_id, version, physical_cols, kind=file_kind
@@ -370,21 +401,21 @@ class CDCEngine:
             )
         finally:
             light.unpersist()
-            try:
+            if winner_persisted:
                 winner_keys.unpersist()
-            except NameError:
-                pass
-        # -- amortized compaction: collapse any bucket whose delta stack
-        #    got deep (its own atomic snapshot; crash-safe, idempotent) ---
+        # -- amortized compaction: collapse the deepest delta groups, at
+        #    most compact_groups_per_epoch per epoch, so maintenance
+        #    latency per epoch is bounded by ≈ table/n_delta_groups each
+        #    (its own atomic snapshot; crash-safe, idempotent) -----------
         if cfg.table_mode == "mor" and cfg.compact_max_deltas:
-            deep = {
-                b
-                for b, d in self.table.delta_depth().items()
-                if d >= cfg.compact_max_deltas
-            }
+            depth = self.table.delta_depth()
+            deep = sorted(
+                (g for g, d in depth.items() if d >= cfg.compact_max_deltas),
+                key=lambda g: -depth[g],
+            )[: max(cfg.compact_groups_per_epoch, 1)]
             if deep:
-                self.table.compact_buckets(deep)
-                timer.mark(f"compaction ({len(deep)} buckets)")
+                self.table.compact_groups(set(deep))
+                timer.mark(f"compaction ({len(deep)} groups)")
         return EpochResult(epoch_id, lo, hi, n_events, n_keys, snapshot_id)
 
     def _write_lineage(self, epoch_id: int, rows: list, snapshot_id: str) -> None:

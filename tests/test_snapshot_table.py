@@ -59,6 +59,32 @@ def test_mor_compaction_preserves_state_and_frees_deltas(spark, tmp_path, tmp_ta
     assert before.equals(final)
 
 
+def test_grouped_delta_partial_compaction(spark, tmp_path, tmp_table):
+    """MoR deltas are fanned into compaction groups map-side: compacting
+    ONE group rewrites only that group's share of the table and leaves the
+    other groups' delta stacks in place — the bounded-maintenance property
+    that replaces whole-table compaction at scale."""
+    eng = _mk_engine(
+        spark, tmp_path, tmp_table, table_mode="mor",
+        compact_max_deltas=0, n_delta_groups=4,
+    )
+    eng.run()
+    depth = eng.table.delta_depth()
+    assert -1 not in depth  # engine path writes grouped, never spanning
+    assert depth and set(depth) <= set(range(4))
+    before = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    g = min(depth)
+    eng.table.compact_groups({g})
+    d2 = eng.table.delta_depth()
+    assert g not in d2 and set(d2) == set(depth) - {g}
+    mid = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    assert before.equals(mid)
+    eng.table.compact_groups()  # drain the rest
+    assert eng.table.delta_depth() == {}
+    after = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    assert before.equals(after)
+
+
 def test_mor_equals_cow_final_state(spark, tmp_path, tmp_table):
     """The two physical strategies are one logical MERGE: byte-equal."""
     eng_mor = _mk_engine(
