@@ -550,10 +550,14 @@ def q_cdc_replay(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """Bucket-collision LSH dedup (production web-corpus shape): the
+    similarity cutoff is the banding s-curve of 32 hashes in 8 bands of
+    4; one pass, no pairwise verification (pairs available via
+    minhash_lsh_pairs)."""
     from ethereum_etl_spark.operators.dedupe import minhash_dedup
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup(d, threshold=0.85).select("doc_id")
+    return minhash_dedup(d).select("doc_id")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -602,6 +606,141 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_graph_path_product(spark, sf_dir):
+    """J5 closed fully: BFS min-hops + MAX product of positive edge
+    weights over minimal-hop paths (the reference folds balance ratios
+    along its Cypher path — src/tasks/extract/pool.py:225-274). The
+    weight is pure integer arithmetic over (src, dst) so Spark and the
+    DuckDB recursive-CTE oracle agree bitwise."""
+    from ethereum_etl_spark.operators.graph import bfs_path_product
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 100).alias("src"),
+            F.pmod(
+                F.get_json_object(F.col("props"), "$.k").cast("long"), F.lit(100)
+            ).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+        .withColumn(
+            "weight", ((F.col("src") * 31 + F.col("dst") * 17) % 97 + 1) / F.lit(49.0)
+        )
+    )
+    return bfs_path_product(edges, source=0, max_hops=3)
+
+
+def q_scalar_bigint(spark, sf_dir):
+    """uint256-class scalar (§2.8 hex >64-bit): hex string decoded into
+    DecimalType(38,0) via two conv() chunks combined with exact decimal
+    arithmetic — the reference stores uint256 as DECIMAL
+    (src/schemas/sql/transaction.py:16, src/repositories/sqlite/pool.py:
+    21-22). The oracle recomputes the value NUMERICALLY (hugeint) from
+    the same generators, so the string decode is checked against ground
+    truth; output as string for a type-stable compare."""
+    two60 = 1152921504606846976  # 2^60 = 16^15
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 29 == 0)
+    v1 = ((F.col("p_partkey") * F.lit(2654435761) + F.lit(40503)) * F.lit(7919)) % F.lit(two60)
+    v2 = (F.col("p_partkey") * F.lit(97781173) + F.lit(12289)) % F.lit(two60)
+    d = p.select(
+        F.col("p_partkey").cast("long").alias("k"),
+        F.concat(F.lower(F.hex(v1)), F.lpad(F.lower(F.hex(v2)), 15, "0")).alias("hexs"),
+    )
+    hi = F.expr("conv(substring(hexs, 1, length(hexs) - 15), 16, 10)").cast("decimal(38,0)")
+    lo = F.expr("conv(substring(hexs, length(hexs) - 14, 15), 16, 10)").cast("decimal(38,0)")
+    big = hi * F.lit(two60).cast("decimal(38,0)") + lo
+    return d.select("k", big.cast("decimal(38,0)").cast("string").alias("big"))
+
+
+def q_csv_export(spark, sf_dir):
+    """S9 CSV export (reference COPY TO — src/repositories/sqlite/base.py:
+    177-185): write the frame as CSV, read it back with the declared
+    schema; the returned rows ARE the exported artifact, oracle-checked
+    against the source table."""
+    import os
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nkey"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("rkey"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "etl_spark_csv_export_q")
+    n.repartition(1).write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.option("header", True).schema(n.schema).csv(out)
+
+
+def _multi_engine(spark, sf_dir):
+    """Build (or resume) the multi-table engine over a WAL derived
+    deterministically from the events table. Re-invocation is an
+    exactly-once no-op (ledger skip), so both multi_table_* queries
+    share one applied state."""
+    import os
+    import tempfile
+
+    from ethereum_etl_spark.plans.multi import MultiTableEngine
+    from ethereum_etl_spark.sources.walgen import write_wal
+
+    ev = _t(spark, sf_dir, "events")
+    n = ev.count()
+    root = os.path.join(
+        tempfile.gettempdir(), f"etl_spark_multi_{abs(hash(sf_dir)) % 99999}_{n}"
+    )
+    wal = os.path.join(root, "wal")
+    if not os.path.exists(wal):
+        derived = ev.select(
+            F.col("event_id").cast("long").alias("seq"),
+            F.when(F.col("event_type") == "error", "delete")
+            .when(F.col("event_type") == "click", "insert")
+            .otherwise("update")
+            .alias("op"),
+            F.concat(
+                F.lit("https://site-"),
+                (F.col("user_id") % 50).cast("string"),
+                F.lit(".example.com/u/"),
+                F.col("user_id").cast("string"),
+            ).alias("url"),
+            F.col("ts").alias("warc_ts"),
+            F.when(F.col("event_type") == "error", F.lit(None).cast("binary"))
+            .otherwise(F.encode(F.col("props"), "UTF-8"))
+            .alias("html"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        write_wal(derived, wal, n_files=8)
+    eng = MultiTableEngine(spark, wal, root, epoch_size=max(n // 4, 1000))
+    eng.run()
+    return eng
+
+
+def q_multi_table_hosts(spark, sf_dir):
+    """Multi-entity fan-out (reference: one stream → 14 entity tables,
+    src/tasks/dag.py:32-49): one WAL drives pages + a per-host aggregate
+    dim under ONE atomic group-ledger commit per epoch. This query
+    returns the host_stats table after multi-epoch apply; the oracle is
+    the single-shot SQL aggregate — equality proves the additive
+    epoch-fold is exactly-once."""
+    eng = _multi_engine(spark, sf_dir)
+    return eng.read_hosts().select(
+        "host",
+        "n_events",
+        "n_inserts",
+        "n_updates",
+        "n_deletes",
+        "last_seq",
+        F.unix_timestamp("last_warc_ts").alias("last_ts"),
+    )
+
+
+def q_multi_table_pages(spark, sf_dir):
+    """The pages side of the multi-table apply: LWW final state (winning
+    delete removes the key) after the same group-committed epochs."""
+    eng = _multi_engine(spark, sf_dir)
+    return eng.read_pages().select(
+        "url", "seq", F.length("html").cast("long").alias("hlen")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -638,6 +777,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_users": q_intersect_users,
         "range_frame": q_range_frame,
         "jaccard_3gram_pairs": q_jaccard_3gram_pairs,
+        "graph_path_product": q_graph_path_product,
+        "scalar_bigint": q_scalar_bigint,
+        "csv_export": q_csv_export,
+        "multi_table_hosts": q_multi_table_hosts,
+        "multi_table_pages": q_multi_table_pages,
         # training-data operators
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -818,6 +962,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS cnt
             FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
             WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+        """,
+
+        "graph_path_product": """
+            WITH RECURSIVE e AS (
+                SELECT src, dst,
+                       CAST(((src*31 + dst*17) % 97 + 1) AS DOUBLE) / 49.0 AS weight
+                FROM (SELECT DISTINCT user_id % 100 AS src,
+                             CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 AS dst
+                      FROM events) t
+                WHERE dst IS NOT NULL),
+            walk(node, hops, product) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+                UNION
+                SELECT e.dst, walk.hops + 1, walk.product * e.weight
+                FROM walk JOIN e ON e.src = walk.node
+                WHERE walk.hops < 3),
+            best AS (SELECT node, min(hops) AS hops FROM walk GROUP BY node)
+            SELECT b.node, CAST(b.hops AS BIGINT) AS hops, max(w.product) AS product
+            FROM best b JOIN walk w ON w.node = b.node AND w.hops = b.hops
+            GROUP BY b.node, b.hops
+        """,
+        "scalar_bigint": """
+            SELECT CAST(p_partkey AS BIGINT) AS k,
+                   CAST(CAST(((p_partkey*2654435761 + 40503) * 7919) % 1152921504606846976 AS HUGEINT)
+                        * 1152921504606846976
+                        + (p_partkey*97781173 + 12289) % 1152921504606846976 AS VARCHAR) AS big
+            FROM part WHERE p_partkey % 29 = 0
+        """,
+        "csv_export": """
+            SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS name,
+                   CAST(n_regionkey AS BIGINT) AS rkey
+            FROM nation
+        """,
+        "multi_table_hosts": """
+            SELECT 'site-' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_inserts,
+                   CAST(count(*) FILTER (WHERE event_type NOT IN ('click','error')) AS BIGINT) AS n_updates,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_deletes,
+                   CAST(max(event_id) AS BIGINT) AS last_seq,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
+            FROM events GROUP BY 1
+        """,
+        "multi_table_pages": """
+            SELECT url, seq, hlen FROM (
+                SELECT 'https://site-' || CAST(user_id % 50 AS VARCHAR)
+                         || '.example.com/u/' || CAST(user_id AS VARCHAR) AS url,
+                       CAST(event_id AS BIGINT) AS seq,
+                       CAST(strlen(props) AS BIGINT) AS hlen,
+                       event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         "graph_bfs": """
             WITH RECURSIVE e AS (

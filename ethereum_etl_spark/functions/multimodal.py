@@ -6,13 +6,17 @@ the Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
 signatures, partition sizing) for decode / feature-extract / resize /
 frame-sample stages.
 
-The actual codec work is STUBBED: image/audio libraries are not in this
-container, so each stage either raises ``NotImplementedError`` (when
-``strict=True``) or produces a clearly-marked deterministic fake derived
-from the bytes (default) so the distributed plumbing is testable
-end-to-end. Swapping in a real decoder is a one-function change — the
-batch iterator contract (`Iterator[pd.DataFrame] → Iterator[pd.DataFrame]`)
-is exactly what PIL/torchaudio-based decoders consume.
+Codec status: **PNG image decode is REAL** — a pure-stdlib parser
+(signature, chunk walk, IHDR width/height, CRC32 verification) plus a
+matching encoder used by the synthetic generator, so the decode stage is
+exercised on genuine image bytes with no PIL dependency. Audio/video
+codecs remain STUBBED: those libraries are not in this container, so the
+stages either raise ``NotImplementedError`` (when ``strict=True``) or
+produce a clearly-marked deterministic fake derived from the bytes so
+the distributed plumbing stays testable end-to-end. Swapping in a full
+decoder is a one-function change — the batch iterator contract
+(`Iterator[pd.DataFrame] → Iterator[pd.DataFrame]`) is exactly what
+PIL/torchaudio-based decoders consume.
 
 Scale notes: media bytes are the dominant mass, so every stage is
 ``mapInPandas`` (no shuffle, Arrow batches) and metadata-only outputs
@@ -61,8 +65,56 @@ IMAGE_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_ts_ms long, frame_bytes binary"
 
 
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal REAL PNG encoder (pure stdlib: struct + zlib).
+
+    Emits a spec-valid 8-bit RGB PNG — signature, IHDR, one deflated
+    IDAT of deterministic scanlines, IEND — with correct CRC32s. Used by
+    ``gen_media`` so the decode stage runs against genuine image bytes.
+    """
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(((x * 31 + y * 17 + seed) % 256) for x in range(width * 3))
+        for y in range(height)
+    )
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+
+
+def decode_png_header(b: bytes | None) -> tuple[int, int] | None:
+    """REAL PNG header decode (pure stdlib): validates the signature and
+    the IHDR chunk's CRC32, returns (width, height); None if the payload
+    is not a well-formed PNG."""
+    import struct
+    import zlib
+
+    if b is None or len(b) < 33 or bytes(b[:8]) != b"\x89PNG\r\n\x1a\n":
+        return None
+    length, typ = struct.unpack(">I4s", bytes(b[8:16]))
+    if typ != b"IHDR" or length != 13:
+        return None
+    data = bytes(b[16:29])
+    (crc,) = struct.unpack(">I", bytes(b[29:33]))
+    if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+        return None
+    w, h = struct.unpack(">II", data[:8])
+    return int(w), int(h)
+
+
 def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
-    """Deterministic fake of image dimension decode (STUB for PIL)."""
+    """Deterministic fake of image dimension decode (fallback for
+    non-PNG formats, whose codecs are not in this container)."""
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 1984, 64 + h[1] % 1016
 
@@ -76,16 +128,28 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 def image_features(df: DataFrame, strict: bool = False, feature_dim: int = 8) -> DataFrame:
     """decode + feature-extract stage: media rows → per-image features.
 
-    Real implementation would call PIL/torchvision inside the batch loop;
-    the Arrow plumbing (batch iterator, schema, payload pruning) is real.
+    PNG payloads are decoded FOR REAL (header walk + CRC check,
+    ``decode_png_header``); other formats fall back to a deterministic
+    fake (``strict=True`` raises for them instead). The Arrow plumbing —
+    batch iterator, schema, payload pruning — is identical either way.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError("image decoder not available in this container")
+        def dims_of(b):
+            if b is None:
+                return (None, None)
+            real = decode_png_header(bytes(b))
+            if real is not None:
+                return real
+            if strict:
+                raise NotImplementedError(
+                    "only PNG decode is available in this container"
+                )
+            return _fake_decode_dims(bytes(b))
+
         for pdf in it:
             payloads = pdf["payload"]
-            dims = payloads.map(lambda b: _fake_decode_dims(bytes(b)) if b is not None else (None, None))
+            dims = payloads.map(dims_of)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -117,15 +181,17 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> 
             raise NotImplementedError("video decoder not available in this container")
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["payload"] is None or r["meta"] is None:
+            # column-zip iteration, not iterrows(): no per-row Series
+            # construction in the batch loop
+            for mid, pay, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                if pay is None or meta is None:
                     continue
-                dur = r["meta"]["duration_ms"] or 0
-                payload = bytes(r["payload"])
+                dur = meta["duration_ms"] or 0
+                payload = bytes(pay)
                 for i, ts in enumerate(range(0, int(dur), every_ms)):
                     fake = hashlib.sha256(payload + ts.to_bytes(8, "little")).digest()
                     rows.append(
-                        {"media_id": r["media_id"], "frame_idx": i, "frame_ts_ms": ts, "frame_bytes": fake}
+                        {"media_id": mid, "frame_idx": i, "frame_ts_ms": ts, "frame_bytes": fake}
                     )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_bytes"])
 
@@ -151,8 +217,13 @@ def resize_images(df: DataFrame, max_px: int = 256, strict: bool = False) -> Dat
 
 
 def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (JVM-side exprs, same pattern
-    as walgen) for testing the plumbing."""
+    """Deterministic synthetic media table for testing the plumbing.
+
+    Non-image metadata comes from JVM-side exprs (walgen pattern); image
+    rows then get REAL PNG payloads (``encode_png``) via a mapInPandas
+    pass, with ``meta.width/height`` set to the true encoded dimensions —
+    so decode tests can assert the real parser against ground truth.
+    """
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     r = lambda salt, n_: F.pmod(F.xxhash64(F.col("media_id"), F.lit(seed), F.lit(salt)), F.lit(n_))
     df = spark.range(n).withColumnRenamed("id", "media_id")
@@ -161,11 +232,13 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         F.concat(F.lit("MEDIA:"), F.col("media_id").cast("string"), F.lit(":"), F.repeat(F.lit("x"), (r("len", 200) + 32).cast("int"))),
         "UTF-8",
     )
-    return df.select(
+    base = df.select(
         "media_id",
         kind.alias("kind"),
         payload.alias("payload"),
-        F.concat(F.lit("application/"), kind).alias("mime"),
+        F.when(F.col("media_id").isNotNull() & (kind == "image"), F.lit("image/png"))
+        .otherwise(F.concat(F.lit("application/"), kind))
+        .alias("mime"),
         F.struct(
             (r("w", 1920) + 1).cast("int").alias("width"),
             (r("h", 1080) + 1).cast("int").alias("height"),
@@ -173,3 +246,19 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
             F.lit(44100).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+    def inject_png(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = list(pdf["payload"]), list(pdf["meta"])
+            for i, (k, mid) in enumerate(zip(pdf["kind"], pdf["media_id"])):
+                if k == "image":
+                    w, h = 1 + int(mid) % 64, 1 + int(mid) % 48
+                    payloads[i] = encode_png(w, h, seed=int(mid))
+                    m = dict(metas[i])
+                    m["width"], m["height"] = w, h
+                    metas[i] = m
+            pdf = pdf.copy()
+            pdf["payload"], pdf["meta"] = payloads, metas
+            yield pdf
+
+    return base.mapInPandas(inject_png, MEDIA_SCHEMA)

@@ -133,13 +133,23 @@ def minhash_signature(
 
     For each hash fn i: min over 31-bit shingle hashes h of
     (a_i*h + b_i) mod p, p = 2^61-1.
+
+    Formulation chosen by measurement (sf0.1, 32 cores): n_hashes
+    independent ``array_min(transform(...))`` passes = 5.9s, vs 10.4s for
+    explode+codegen-hash-agg and 12.5s for a fused single-pass
+    ``aggregate`` carrying an n_hashes-wide running-min accumulator —
+    Catalyst evaluates higher-order-function lambdas without whole-stage
+    codegen, so the "one traversal" form loses to n cheap vectorized
+    passes over an already-materialized array.
     """
     params = _hash_params(n_hashes, seed)
     cols = [
         F.array_min(
             F.transform(
                 shingles_col,
-                lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(1 << 31)) + F.lit(b), F.lit(_MERSENNE)),
+                lambda h: F.pmod(
+                    F.lit(a) * F.pmod(h, F.lit(1 << 31)) + F.lit(b), F.lit(_MERSENNE)
+                ),
             )
         )
         for a, b in params
@@ -147,36 +157,42 @@ def minhash_signature(
     return F.array(*cols)
 
 
-def minhash_lsh_pairs(
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the scan
+    produced fewer partitions — the cheap-scan/expensive-map case: a small
+    compressed parquet file arrives as ONE split, which would run the
+    whole shingle+signature pipeline on one core. At real corpus sizes
+    the scan is already wide and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _lsh_bands(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_len: int = 3,
-    n_hashes: int = 64,
-    n_bands: int = 16,
-    threshold: float = 0.5,
-    seed: int = 7,
+    id_col: str,
+    text_col: str,
+    shingle_len: int,
+    n_hashes: int,
+    n_bands: int,
+    seed: int,
+    max_bucket_size: int | None,
 ) -> DataFrame:
-    """Candidate pairs via banded LSH, verified with exact Jaccard.
-
-    Pipeline: shingles → signature (n_hashes) → split into n_bands bands
-    of n_hashes/n_bands rows → band bucket key = xxhash64(band slice) →
-    self-join per (band, bucket) → distinct candidate pairs → exact
-    Jaccard over shingle sets ≥ threshold.
-
-    Shuffle profile: explode emits n_bands rows/doc of (band, bucket,
-    id) — constant width. Payload (shingle sets) joins back only for
-    candidates.
-    """
+    """(id, band, bucket) rows: shingles → signature → banded bucket keys,
+    with the degenerate-bucket cap applied. Shared by the verified-pairs
+    path and the bucket-collision dedup path."""
     rows_per_band = n_hashes // n_bands
-    s = with_shingles(df, text_col, shingle_len).select(
-        F.col(id_col).alias("id"), "shingles"
+    # NOTE: no array_distinct here — min() is duplicate-insensitive, so
+    # the signature over the raw rolling shingles equals the signature
+    # over the shingle SET, and the per-doc dedup sort is saved. (The
+    # exact-Jaccard verifier computes distinct sets itself.)
+    s = _fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
+        rolling_shingle_fingerprints(text_col, shingle_len).alias("shingles"),
     )
-    # materialize the 31-bit shingle hashes ONCE so the 64 per-hash min
-    # scans reuse them instead of re-deriving per hash function
-    s = s.withColumn("__h31", F.transform(F.col("shingles"), lambda h: F.pmod(h, F.lit(1 << 31))))
-    s = s.withColumn("sig", minhash_signature(F.col("__h31"), n_hashes, seed)).drop("__h31")
-    bands = s.select(
+    s = s.withColumn("sig", minhash_signature(F.col("shingles"), n_hashes, seed))
+    bands = s.drop("shingles").select(
         "id",
         F.explode(
             F.transform(
@@ -196,16 +212,85 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
+    if max_bucket_size is not None:
+        # single-pass cap: a window count shuffles the (id, band, bucket)
+        # tuples once and filters in place — a groupBy+semi-join variant
+        # would re-run the whole signature pipeline for the second
+        # reference to `bands`
+        w = Window.partitionBy("band", "bucket")
+        bands = (
+            bands.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    return bands
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+    max_bucket_size: int | None = 128,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact Jaccard.
+
+    Pipeline: shingles → signature (n_hashes) → split into n_bands bands
+    of n_hashes/n_bands rows → band bucket key = xxhash64(band slice) →
+    self-join per (band, bucket) → distinct candidate pairs → exact
+    Jaccard over shingle sets ≥ threshold.
+
+    Shuffle profile: explode emits n_bands rows/doc of (band, bucket,
+    id) — constant width. Payload (shingle sets) joins back only for
+    candidates.
+
+    Defaults are 32 hashes in 8 bands of 4: signature cost is linear in
+    n_hashes and rows-per-band (the LSH s-curve's r) stays 4, so recall
+    at the dedup thresholds (≥0.8) is still ≈1 while the dominant
+    signature stage costs half of the 64-hash configuration. Callers
+    wanting the classic 64×16 can pass it explicitly.
+
+    ``max_bucket_size`` is the standard LSH degenerate-bucket guard: a
+    bucket shared by b docs contributes b² candidate rows, so one
+    boilerplate band hash shared by a million pages is a quadratic
+    blowup. Buckets above the cap are dropped from candidate generation
+    (their members almost always co-occur in several other, smaller
+    buckets; near-dup recall loss is negligible while the worst case
+    drops from O(n²) to O(n·cap)). Pass None to disable.
+    """
+    bands = _lsh_bands(
+        df, id_col, text_col, shingle_len, n_hashes, n_bands, seed, max_bucket_size
+    )
     left = bands.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
     right = bands.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
+    # materialize the candidate set (tiny: id pairs) — it is consumed
+    # twice below (candidate-doc discovery + the verify join), and a
+    # lazy cache is useless here: both consumers land in ONE downstream
+    # job, which would re-run the whole signature+band pipeline per
+    # subtree. localCheckpoint runs the pipeline once, stores the pairs
+    # executor-side, and truncates the lineage.
     candidates = (
         left.join(right, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
-    sh = s.select(F.col("id"), F.col("shingles"))
+    # shingle sets are the expensive column (full-text tokenize+hash per
+    # doc): recompute them ONLY for docs that appear in some candidate
+    # pair (pair-sparse corpora → a small semi-joined subset) instead of
+    # caching corpus-wide shingles or recomputing them per join side
+    cand_ids = (
+        candidates.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    )
+    sh = with_shingles(
+        df.join(cand_ids, on=id_col, how="left_semi"), text_col, shingle_len
+    ).select(F.col(id_col).alias("id"), "shingles")
     verified = (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -220,14 +305,55 @@ def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    **kwargs,
+    shingle_len: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float | None = None,
+    seed: int = 7,
+    max_bucket_size: int | None = 128,
+    verify: bool = False,
 ) -> DataFrame:
-    """Drop near-duplicates: keep the min-id representative per pair
-    cluster (greedy union via iterative min propagation is overkill for
-    pair-sparse corpora; we drop any id that appears as id_b of a pair
-    whose id_a survives — standard single-pass LSH dedup)."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    """Drop near-duplicates: keep the min-id representative per group.
+
+    Default (``verify=False``) is bucket-collision dedup — the production
+    web-corpus shape (RefinedWeb/SlimPajama-style): a doc is dropped when
+    any of its band buckets contains a smaller id. The similarity
+    threshold is enforced by the LSH s-curve of (n_hashes, n_bands)
+    itself (8 bands of 4 ⇒ ~50% match probability at Jaccard 0.72,
+    ≈1 at 0.9), and the whole dedup is ONE pass: signature → bands →
+    per-bucket min-id window → anti-join. No pairwise work at all, so
+    cost is O(n·n_bands) regardless of duplicate density.
+
+    ``verify=True`` instead drops only pairs whose exact shingle Jaccard
+    ≥ ``threshold`` (via :func:`minhash_lsh_pairs`) — exact but pays a
+    candidate-verification join; use it when precision matters more than
+    throughput. ``threshold`` is required in this mode.
+    """
+    if verify:
+        if threshold is None:
+            raise ValueError("verify=True requires an explicit threshold")
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, shingle_len, n_hashes, n_bands,
+            threshold, seed, max_bucket_size,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        # cap filter and min-id survivor share ONE window pass (same
+        # partition spec → single shuffle+sort over 24-byte tuples)
+        bands = _lsh_bands(
+            df, id_col, text_col, shingle_len, n_hashes, n_bands, seed, None
+        )
+        w = Window.partitionBy("band", "bucket")
+        bands = bands.withColumn("__m", F.min("id").over(w))
+        if max_bucket_size is not None:
+            bands = bands.withColumn("__n", F.count("*").over(w)).filter(
+                F.col("__n") <= max_bucket_size
+            )
+        losers = (
+            bands.filter(F.col("id") > F.col("__m"))
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -280,12 +406,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_block_size: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Blocked self-join: split the 64-bit hash into (max_hamming+1) chunks;
     by pigeonhole two hashes within the radius share ≥1 exact chunk, so
-    the join key is (chunk_idx, chunk_value) — no quadratic blowup.
+    the join key is (chunk_idx, chunk_value) — no quadratic blowup
+    between distinct hashes. ``max_block_size`` guards the remaining
+    degenerate case (one chunk value shared by a huge cohort, e.g.
+    boilerplate pages hashing near-identically): blocks above the cap are
+    dropped, bounding the self-join at O(n·cap). Pass None to disable.
     """
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
@@ -293,7 +424,9 @@ def simhash_pairs(
     def _chunk_mask(nbits: int) -> int:
         m = (1 << nbits) - 1
         return m if m < (1 << 63) else m - (1 << 64)  # two's-complement long
-    h = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    h = _fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", simhash64(text_col).alias("sh")
+    )
     chunks = h.select(
         "id",
         "sh",
@@ -311,6 +444,15 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("id", "sh", "c.chunk_idx", "c.chunk_val")
+    if max_block_size is not None:
+        # single-pass cap via window count (see minhash_lsh_pairs): no
+        # second evaluation of the simhash pipeline
+        w = Window.partitionBy("chunk_idx", "chunk_val")
+        chunks = (
+            chunks.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") <= max_block_size)
+            .drop("__n")
+        )
     a = chunks.select("chunk_idx", "chunk_val", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = chunks.select("chunk_idx", "chunk_val", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -153,7 +153,49 @@ class CDCEngine:
 
         if refresh or getattr(self, "_wal_df", None) is None:
             self._wal_df = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.wal_path)
+            self._wal_footers = None  # file set may have changed
         return self._wal_df
+
+    def _wal_file_stats(self) -> list[dict]:
+        """Per-file WAL stats from parquet footers, cached per listing:
+        (path, rows, seq min/max from column stats, html uncompressed
+        bytes). WAL files are immutable, so footers are read once per
+        refresh — per-epoch lineage needs NO payload scan at all (the
+        Iceberg-manifest trick: file-level stats are metadata)."""
+        if getattr(self, "_wal_footers", None) is not None:
+            return self._wal_footers
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = sorted(
+            os.path.join(self.wal_path, fn)
+            for fn in os.listdir(self.wal_path)
+            if fn.endswith(".parquet")
+        )
+
+        def _one(path: str) -> dict:
+            md = pq.read_metadata(path)
+            names = md.schema.names
+            seq_i, html_i = names.index("seq"), names.index("html")
+            smin, smax, hbytes = None, None, 0
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(seq_i).statistics
+                if st is not None and st.has_min_max:
+                    smin = st.min if smin is None else min(smin, st.min)
+                    smax = st.max if smax is None else max(smax, st.max)
+                hbytes += g.column(html_i).total_uncompressed_size
+            return {
+                "path": path,
+                "rows": md.num_rows,
+                "seq_min": smin,
+                "seq_max": smax,
+                "bytes": hbytes,
+            }
+
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            self._wal_footers = [f for f in ex.map(_one, paths) if f["rows"] > 0]
+        return self._wal_footers
 
     def wal_max_seq(self) -> int:
         row = self._wal(refresh=True).agg(F.max("seq").alias("m")).collect()[0]
@@ -182,19 +224,22 @@ class CDCEngine:
             raise InjectedCrash(point)
 
     def run_epoch(self, epoch_id: int, lo: int, hi: int) -> EpochResult:
-        """One epoch in 3 Spark jobs, none of which shuffles html bytes:
+        """One epoch in 2 Spark jobs (MoR; CoW adds a winner-count job),
+        none of which shuffles html bytes:
 
-        job 1 (light scan): per-partition lineage stats + per-key counts,
-               cached payload-FREE projection (seq/url/warc_ts/op/bytes).
-        job 2 (tiny, cached input): LWW winner keys + affected buckets.
-        job 3 (the write): winner seqs ⋈ WAL slice fetches payloads once,
-               Arrow text-extract on winners only, MERGE vs touched
-               buckets, bucket-partitioned stage write.
+        job 1 (light scan): exact event count + approximate key count
+               over a cached payload-FREE projection (seq/url/warc_ts/
+               op); per-file lineage stats come from cached parquet
+               footers — pure metadata, zero payload IO.
+        job 2 (the write): winner seqs ⋈ WAL slice fetches payloads once,
+               Arrow text-extract on winners only, then MoR grouped delta
+               write (shuffle-free) or CoW merge vs touched buckets.
 
-        The WAL's html column is read exactly once (job 3 scan) and never
-        crosses a shuffle: dedup/merge decisions travel as (url, warc_ts,
-        seq) tuples, and the stage write's bucket repartition moves only
-        the winning rows plus touched-bucket rows — the CoW minimum.
+        The WAL's html column is read exactly once (the write job's scan)
+        and never crosses a shuffle: dedup/merge decisions travel as
+        (url, warc_ts, seq) tuples, and in CoW mode the stage write's
+        bucket repartition moves only the winning rows plus
+        touched-bucket rows — the CoW minimum.
         """
         cfg = self.config
         committed = self.table.committed_epochs()
@@ -208,36 +253,31 @@ class CDCEngine:
         wal = self._wal()
         slice_df = wal.filter((F.col("seq") > lo) & (F.col("seq") <= hi))
 
-        # -- job 1: payload-free projection; lineage + global key estimate
-        #    in ONE action: rollup(__pid) emits the per-partition lineage
-        #    rows plus a grand-total row (pid null) whose
-        #    approx_count_distinct(url) feeds the broadcast decision —
-        #    saving a separate winner-count job per epoch (driver serial
-        #    cost is the scaling-efficiency tax at high core counts).
-        light = slice_df.select(
-            "seq",
-            "url",
-            "warc_ts",
-            "op",
-            F.coalesce(F.length("html"), F.lit(0)).alias("__hbytes"),
-            F.spark_partition_id().alias("__pid"),
-        ).persist()
-        stats = (
-            light.rollup(F.col("__pid").alias("partition_id"))
-            .agg(
-                F.min("seq").alias("start_seq"),
-                F.max("seq").alias("end_seq"),
-                F.count("*").alias("row_count"),
-                F.sum("__hbytes").alias("bytes"),
-                F.approx_count_distinct("url").alias("n_keys_est"),
-            )
-            .collect()
-        )
+        # -- job 1: payload-FREE projection (seq/url/warc_ts/op — html is
+        #    read exactly once per epoch, in the write job): one global
+        #    agg gives the exact event count plus the approximate key
+        #    count that feeds the broadcast decision. Per-file lineage
+        #    stats (offsets, rows, payload bytes) come from the cached
+        #    parquet FOOTERS — metadata, not a payload scan; previously
+        #    length(html) here forced a second full-payload decompress
+        #    per epoch.
+        light = slice_df.select("seq", "url", "warc_ts", "op").persist()
+        total = light.agg(
+            F.count("*").alias("row_count"),
+            F.approx_count_distinct("url").alias("n_keys_est"),
+        ).collect()[0]
         timer.mark("lineage scan")
-        lineage = [r for r in stats if r["partition_id"] is not None]
-        total = next((r for r in stats if r["partition_id"] is None), None)
-        n_events = int(total["row_count"]) if total is not None else 0
-        n_keys_est = int(total["n_keys_est"]) if total is not None else 0
+        n_events = int(total["row_count"])
+        n_keys_est = int(total["n_keys_est"])
+        # a WAL file belongs to the epoch that covers its first seq
+        # (boundary files are attributed whole, so lineage rows+bytes
+        # tile the WAL exactly across epochs; Iceberg manifests carry
+        # file-granular stats the same way)
+        lineage = [
+            f
+            for f in self._wal_file_stats()
+            if f["seq_min"] is not None and lo < f["seq_min"] <= hi
+        ]
         version = self.registry.version_at(hi)
         if n_events == 0:
             light.unpersist()
@@ -269,8 +309,8 @@ class CDCEngine:
                             .agg(F.max("count").alias("m"))
                             .collect()[0]["m"]
                         )
-                        total = max(int(n_events * cfg.skew_sample_frac), 1)
-                        self._skew_memo = bool(top) and top / total > cfg.skew_threshold
+                        sample_n = max(int(n_events * cfg.skew_sample_frac), 1)
+                        self._skew_memo = bool(top) and top / sample_n > cfg.skew_threshold
                         self._epochs_since_probe = 0
                     self._epochs_since_probe += 1
                     method = "salted" if self._skew_memo else "agg"
@@ -281,7 +321,7 @@ class CDCEngine:
             # epoch's key count (100k-1M rows) — forcing them into driver
             # broadcasts degrades the session; AQE broadcasts from runtime
             # size stats when a side is genuinely small.
-            keyed = light.drop("__hbytes", "__pid")
+            keyed = light
             if method == "salted":
                 winner_keys = lww_salted(keyed, n_salt=cfg.n_salt, broadcast_winners=False)
             elif method == "window":
@@ -290,7 +330,6 @@ class CDCEngine:
                 winner_keys = lww_window(keyed)
             else:
                 winner_keys = lww_agg(keyed, broadcast_winners=False)
-            winner_persisted = False
             if cfg.table_mode == "mor":
                 # MoR needs no affected-bucket set and no exact key count
                 # up front (delta file footers give n_keys for free after
@@ -418,11 +457,12 @@ class CDCEngine:
                 timer.mark(f"compaction ({len(deep)} groups)")
         return EpochResult(epoch_id, lo, hi, n_events, n_keys, snapshot_id)
 
-    def _write_lineage(self, epoch_id: int, rows: list, snapshot_id: str) -> None:
+    def _write_lineage(self, epoch_id: int, files: list, snapshot_id: str) -> None:
         """Idempotent per-epoch lineage parquet (overwrite on re-run).
 
-        Written driver-side with pyarrow: the lineage frame is one row per
-        input partition — pushing ~100 rows through a Spark job costs ~1s
+        One row per WAL file the epoch owns: (file, seq offsets, rows,
+        payload bytes, commit snapshot). Written driver-side with
+        pyarrow: pushing ~100 metadata rows through a Spark job costs ~1s
         of scheduler latency per epoch for zero parallelism benefit.
         """
         import pyarrow as pa
@@ -430,13 +470,13 @@ class CDCEngine:
 
         table = pa.table(
             {
-                "epoch_id": pa.array([epoch_id] * len(rows), pa.int64()),
-                "partition_id": pa.array([r["partition_id"] for r in rows], pa.int32()),
-                "start_seq": pa.array([r["start_seq"] for r in rows], pa.int64()),
-                "end_seq": pa.array([r["end_seq"] for r in rows], pa.int64()),
-                "row_count": pa.array([r["row_count"] for r in rows], pa.int64()),
-                "bytes": pa.array([r["bytes"] for r in rows], pa.int64()),
-                "snapshot_id": pa.array([snapshot_id] * len(rows), pa.string()),
+                "epoch_id": pa.array([epoch_id] * len(files), pa.int64()),
+                "file": pa.array([os.path.basename(f["path"]) for f in files], pa.string()),
+                "start_seq": pa.array([f["seq_min"] for f in files], pa.int64()),
+                "end_seq": pa.array([f["seq_max"] for f in files], pa.int64()),
+                "row_count": pa.array([f["rows"] for f in files], pa.int64()),
+                "bytes": pa.array([f["bytes"] for f in files], pa.int64()),
+                "snapshot_id": pa.array([snapshot_id] * len(files), pa.string()),
             }
         )
         out = os.path.join(self.lineage_root, f"epoch={epoch_id}")

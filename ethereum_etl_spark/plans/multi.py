@@ -1,0 +1,307 @@
+"""Multi-table apply: one WAL epoch stream fanning into several
+SnapshotTables under ONE atomic commit.
+
+Reference analog: one block stream feeds 14 dependent entity tables
+through the task DAG (src/utils/enumeration.py:1-25, entity→task map
+src/tasks/dag.py:32-49), and every sink commits per batch
+(src/repositories/sqlite/base.py:173). Here the fan-out is N DataFrame
+branches over one epoch slice, and exactly-once across ALL tables comes
+from a single GROUP ledger:
+
+1. every member table stages data files and writes its manifest —
+   both invisible until referenced (the SnapshotTable write-ahead
+   discipline);
+2. ONE atomic ``os.replace`` of the group ledger commits every table's
+   new snapshot at once (THE commit point — a two-phase catalog commit);
+3. member tables' own ledgers are appended afterwards, idempotently,
+   and *reconciled* from the group ledger on startup — so a crash
+   between (2) and (3) self-heals and the group entry stays the single
+   source of truth.
+
+Tables driven here:
+
+- ``pages``    — the LWW-upsert page store (same semantics as
+                 plans/engine.py, merge-on-read grouped deltas);
+- ``host_stats`` — an aggregated per-host dimension (additive counts +
+                 max high-water columns), the analog of the reference's
+                 enriched lookup dims (account/pool/token aggregates).
+                 Additive deltas are exactly-once because epochs are:
+                 each epoch's contribution is folded in exactly once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ethereum_etl_spark.functions.extract import extract_text_udf
+from ethereum_etl_spark.operators.lww import lww_agg
+from ethereum_etl_spark.operators.snapshot_table import (
+    BUCKET_COL,
+    TOMBSTONE_COL,
+    Snapshot,
+    SnapshotTable,
+    bucket_expr,
+)
+from ethereum_etl_spark.schemas import PAGES_SCHEMA_V1, SchemaRegistry
+
+#: per-host aggregate dimension (derived table #2)
+HOST_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("n_inserts", T.LongType(), False),
+        T.StructField("n_updates", T.LongType(), False),
+        T.StructField("n_deletes", T.LongType(), False),
+        T.StructField("last_seq", T.LongType(), True),
+        T.StructField("last_warc_ts", T.TimestampType(), True),
+    ]
+)
+
+_HOST_COLS = [f.name for f in HOST_STATS_SCHEMA.fields]
+_PAGES_COLS = [f.name for f in PAGES_SCHEMA_V1.fields] + [TOMBSTONE_COL]
+
+
+class InjectedCrash(RuntimeError):
+    pass
+
+
+@dataclass
+class MultiEpochResult:
+    epoch_id: int
+    start_seq: int
+    end_seq: int
+    n_events: int
+    snapshots: dict = field(default_factory=dict)
+    skipped: bool = False
+
+
+class MultiTableEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        wal_path: str,
+        root: str,
+        epoch_size: int = 50_000,
+        n_buckets: int = 16,
+        n_delta_groups: int = 8,
+        crash_points: set | None = None,
+    ):
+        self.spark = spark
+        self.wal_path = wal_path
+        self.root = root
+        self.epoch_size = epoch_size
+        self.crash_points = crash_points or set()
+        os.makedirs(root, exist_ok=True)
+        self.pages = SnapshotTable(
+            spark,
+            os.path.join(root, "pages"),
+            registry=SchemaRegistry(base_schema=PAGES_SCHEMA_V1),
+            key_col="url",
+            n_buckets=n_buckets,
+            n_delta_groups=n_delta_groups,
+        )
+        self.hosts = SnapshotTable(
+            spark,
+            os.path.join(root, "host_stats"),
+            registry=SchemaRegistry(base_schema=HOST_STATS_SCHEMA),
+            key_col="host",
+            n_buckets=1,  # small aggregated dim: full rewrite per epoch
+        )
+        self._tables = {"pages": self.pages, "host_stats": self.hosts}
+        self.reconcile()
+
+    # -- group ledger (THE commit point) --------------------------------
+
+    @property
+    def _group_path(self) -> str:
+        return os.path.join(self.root, "group_ledger.json")
+
+    def group_entries(self) -> list[dict]:
+        if not os.path.exists(self._group_path):
+            return []
+        with open(self._group_path) as f:
+            return json.load(f)["entries"]
+
+    def _append_group(self, entry: dict) -> None:
+        entries = self.group_entries()
+        entries.append(entry)
+        tmp = self._group_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"entries": entries}, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._group_path)  # atomic multi-table commit
+
+    def reconcile(self) -> int:
+        """Re-derive member-table ledgers from the group ledger: any group
+        entry whose snapshot a member ledger has not recorded yet is
+        appended (the manifest already exists — staged before the group
+        commit). Heals a crash between group commit and member append;
+        idempotent. Returns the number of member entries appended."""
+        appended = 0
+        member_seen = {
+            name: {e["snapshot_id"] for e in t.read_ledger()}
+            for name, t in self._tables.items()
+        }
+        for entry in self.group_entries():
+            for name, table in self._tables.items():
+                sid = entry["tables"][name]
+                if sid not in member_seen[name]:
+                    table._append_ledger(
+                        {
+                            "epoch_id": entry["epoch_id"],
+                            "start_seq": entry["start_seq"],
+                            "end_seq": entry["end_seq"],
+                            "n_events": entry["n_events"],
+                            "snapshot_id": sid,
+                            "schema_version": 1,
+                            "committed_at": entry.get("committed_at"),
+                        }
+                    )
+                    member_seen[name].add(sid)
+                    appended += 1
+        return appended
+
+    def high_watermark(self) -> int:
+        return max((e["end_seq"] for e in self.group_entries()), default=-1)
+
+    # -- epoch loop -----------------------------------------------------
+
+    def _wal(self) -> DataFrame:
+        from ethereum_etl_spark.schemas import CHANGE_EVENT_SCHEMA
+
+        return self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.wal_path)
+
+    def plan_epochs(self) -> list[tuple[int, int, int]]:
+        hw = self.high_watermark()
+        row = self._wal().agg(F.max("seq").alias("m")).collect()[0]
+        top = -1 if row["m"] is None else int(row["m"])
+        out, lo = [], hw
+        while lo < top:
+            hi = min(lo + self.epoch_size, top)
+            out.append((lo + 1, lo, hi))
+            lo = hi
+        return out
+
+    def _crash(self, point: str) -> None:
+        if point in self.crash_points:
+            raise InjectedCrash(point)
+
+    def run_epoch(self, epoch_id: int, lo: int, hi: int) -> MultiEpochResult:
+        committed = {e["epoch_id"]: e for e in self.group_entries()}
+        if epoch_id in committed:
+            self.reconcile()
+            e = committed[epoch_id]
+            return MultiEpochResult(
+                epoch_id, e["start_seq"], e["end_seq"], 0, dict(e["tables"]), skipped=True
+            )
+        slice_df = self._wal().filter((F.col("seq") > lo) & (F.col("seq") <= hi))
+        n_events = slice_df.count()
+
+        # -- branch 1: pages (LWW winners → extract → MoR grouped delta) --
+        winners = lww_agg(slice_df, key_cols=("url",), version_cols=("warc_ts", "seq"))
+        pages_rows = (
+            winners.withColumn(
+                "text",
+                F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
+                    extract_text_udf(F.col("html"))
+                ),
+            )
+            .withColumn(TOMBSTONE_COL, F.col("op") == "delete")
+            .select(*_PAGES_COLS)
+        )
+        pages_sid = self.pages.new_snapshot_id()
+        pages_files = self.pages.stage_delta_grouped(pages_rows, pages_sid, 1, _PAGES_COLS)
+        pages_cur = self.pages.current_snapshot()
+        self.pages._write_manifest(
+            Snapshot(
+                snapshot_id=pages_sid,
+                parent_id=pages_cur.snapshot_id if pages_cur else None,
+                schema_version=1,
+                files=(list(pages_cur.files) if pages_cur else []) + pages_files,
+                summary={"new_files": len(pages_files)},
+            )
+        )
+
+        # -- branch 2: host_stats (additive per-host aggregate merge) -----
+        host = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+        delta = slice_df.groupBy(host.alias("host")).agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("op") == "insert", 1)).alias("n_inserts"),
+            F.count(F.when(F.col("op") == "update", 1)).alias("n_updates"),
+            F.count(F.when(F.col("op") == "delete", 1)).alias("n_deletes"),
+            F.max("seq").alias("last_seq"),
+            F.max("warc_ts").alias("last_warc_ts"),
+        )
+        cur = self.hosts.read()
+        if cur is not None:
+            combined = (
+                cur.select(*_HOST_COLS)
+                .unionByName(delta.select(*_HOST_COLS))
+                .groupBy("host")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("n_inserts").alias("n_inserts"),
+                    F.sum("n_updates").alias("n_updates"),
+                    F.sum("n_deletes").alias("n_deletes"),
+                    F.max("last_seq").alias("last_seq"),
+                    F.max("last_warc_ts").alias("last_warc_ts"),
+                )
+            )
+        else:
+            combined = delta
+        combined = combined.withColumn(BUCKET_COL, bucket_expr("host", self.hosts.n_buckets))
+        hosts_sid = self.hosts.new_snapshot_id()
+        hosts_files = self.hosts.stage(combined, hosts_sid, 1, _HOST_COLS)
+        self.hosts._write_manifest(
+            Snapshot(
+                snapshot_id=hosts_sid,
+                parent_id=(self.hosts.current_snapshot() or Snapshot("", None, 1)).snapshot_id or None,
+                schema_version=1,
+                files=hosts_files,  # full rewrite: nothing carried
+                summary={"new_files": len(hosts_files)},
+            )
+        )
+        self._crash("after_stage")
+
+        snapshots = {"pages": pages_sid, "host_stats": hosts_sid}
+        self._append_group(
+            {
+                "epoch_id": epoch_id,
+                "start_seq": lo,
+                "end_seq": hi,
+                "n_events": n_events,
+                "tables": snapshots,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+        self._crash("after_group_commit")
+        self.reconcile()
+        return MultiEpochResult(epoch_id, lo, hi, n_events, snapshots)
+
+    def run(self) -> list[MultiEpochResult]:
+        return [self.run_epoch(e, lo, hi) for e, lo, hi in self.plan_epochs()]
+
+    # -- read paths -----------------------------------------------------
+
+    def read_pages(self) -> DataFrame | None:
+        df = self.pages.read()
+        if df is None:
+            return None
+        return df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
+            BUCKET_COL, TOMBSTONE_COL
+        )
+
+    def read_hosts(self) -> DataFrame | None:
+        df = self.hosts.read()
+        if df is None:
+            return None
+        return df.drop(BUCKET_COL, TOMBSTONE_COL)

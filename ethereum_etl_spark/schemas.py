@@ -48,11 +48,13 @@ PAGES_SCHEMA_V2 = T.StructType(
     list(PAGES_SCHEMA_V1.fields) + [T.StructField("lang", T.StringType(), True)]
 )
 
-#: F3 — per-partition, per-epoch lineage rows.
+#: F3 — per-file, per-epoch lineage rows (file-granular stats, the
+#: Iceberg-manifest posture: offsets/rows/bytes come from parquet
+#: footers, so lineage costs zero payload scans).
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("epoch_id", T.LongType(), False),
-        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("file", T.StringType(), False),
         T.StructField("start_seq", T.LongType(), False),
         T.StructField("end_seq", T.LongType(), False),
         T.StructField("row_count", T.LongType(), False),
