@@ -81,7 +81,36 @@ def main(argv: list[str] | None = None) -> int:
     _add_engine_args(e)
     e.add_argument("--out", required=True)
 
+    m = sub.add_parser("multi", help="multi-table apply: one WAL → pages + "
+                       "host_stats under one atomic group commit "
+                       "(reference: stream → 14 entity tables, src/tasks/dag.py:32-49)")
+    m.add_argument("--wal", required=True)
+    m.add_argument("--root", required=True, help="group root (pages/ + host_stats/ inside)")
+    m.add_argument("--epoch-size", type=int, default=50_000)
+    m.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "multi":
+        from ethereum_etl_spark.plans.multi import MultiTableEngine
+        from ethereum_etl_spark.session import get_spark
+
+        spark = get_spark(cores=args.cores)
+        eng = MultiTableEngine(spark, args.wal, args.root, epoch_size=args.epoch_size)
+        t0 = time.time()
+        results = eng.run()
+        dt = time.time() - t0
+        n = sum(r.n_events for r in results)
+        pages = eng.read_pages()
+        hosts = eng.read_hosts()
+        print(json.dumps({
+            "epochs": len(results), "events": n,
+            "events_per_sec": round(n / dt, 1) if dt > 0 else None,
+            "high_watermark": eng.high_watermark(),
+            "pages_rows": pages.count() if pages is not None else 0,
+            "host_rows": hosts.count() if hosts is not None else 0,
+        }))
+        return 0
 
     if args.cmd == "gen":
         from ethereum_etl_spark.session import get_spark

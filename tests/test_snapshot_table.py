@@ -125,6 +125,35 @@ def test_orphaned_staging_files_are_expired(spark, tmp_path, tmp_table):
     assert final > 0
 
 
+def test_snapshot_isolation_read_during_write(spark, tmp_path, tmp_table):
+    """A reader bound before an epoch keeps seeing its snapshot while (and
+    after) new epochs commit — reads bind to the manifest's file list, and
+    data files are immutable until expire_snapshots. This is the
+    read-while-write behavior the reference gets from ClickHouse MVs
+    serving queries during NATS ingest (src/repositories/clickhouse/
+    event.py:83-88)."""
+    p = str(tmp_path / "wal")
+    full = gen_wal(spark, WalConfig(n_events=3_000, n_urls=400))
+    from pyspark.sql import functions as F
+
+    write_wal(full.filter(F.col("seq") < 1_500), p, n_files=2)
+    eng = CDCEngine(spark, p, tmp_table, config=EngineConfig(epoch_size=1_500, n_buckets=4))
+    eng.run()
+    old_reader = eng.read_table()  # lazy: bound to snapshot 0's files
+    old_before = old_reader.toPandas().sort_values("url").reset_index(drop=True)
+
+    full.filter(F.col("seq") >= 1_500).repartitionByRange(2, "seq").write.mode(
+        "append"
+    ).parquet(p)
+    eng._wal(refresh=True)
+    eng.run()  # commits a second epoch while old_reader is still alive
+
+    old_after = old_reader.toPandas().sort_values("url").reset_index(drop=True)
+    assert old_before.equals(old_after)  # stable snapshot view
+    new_count = eng.read_table().count()
+    assert new_count != len(old_after) or eng.table.high_watermark() == 2_999
+
+
 def test_tailer_applies_growing_wal(spark, tmp_path, tmp_table):
     """Tail mode: WAL grows between polls; engine catches up exactly-once."""
     p = str(tmp_path / "wal_tail")

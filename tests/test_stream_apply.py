@@ -42,6 +42,32 @@ def test_stream_apply_equals_oracle_and_redelivery_noop(spark, tmp_path, tmp_tab
     pd.testing.assert_frame_equal(got, got2)
 
 
+def test_stream_apply_continuous_returns_live_handle(spark, tmp_path, tmp_table):
+    """Continuous mode returns a StreamHandle exposing the running query
+    and the epoch results applied so far; stop() ends the query."""
+    import time
+
+    from ethereum_etl_spark.streaming.stream_apply import StreamHandle
+
+    p = str(tmp_path / "wal")
+    write_wal(gen_wal(spark, WalConfig(n_events=2_000, n_urls=300)), p, n_files=2)
+    eng = CDCEngine(
+        spark, p, tmp_table, config=EngineConfig(epoch_size=1_000, n_buckets=4)
+    )
+    handle = stream_apply(eng, str(tmp_path / "ckpt_cont"), available_now=False)
+    assert isinstance(handle, StreamHandle)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and sum(r.n_events for r in handle.results) < 2_000:
+            time.sleep(0.5)
+        assert sum(r.n_events for r in handle.results) == 2_000
+        assert handle.query.isActive
+    finally:
+        handle.stop()
+    assert not handle.query.isActive
+    assert eng.table.high_watermark() == 1_999
+
+
 def test_stream_apply_sees_wal_files_appended_after_engine_cached_reader(
     spark, tmp_path, tmp_table
 ):
