@@ -76,7 +76,27 @@ def merge_union_lww(
     )
     if broadcast_winners:
         winners = F.broadcast(winners)
-    return both.join(winners, on=[key_col, *ver_cols], how="inner").drop(_PRIO)
+    # payload-light winner fetch: the winner computation above reads only
+    # (key, version) — Catalyst prunes columns through the union — and
+    # the full rows are then fetched by PER-SIDE semi-joins, so the
+    # payload columns are only ever the probe side of a (broadcastable)
+    # join and never shuffle on the composite merge key. (The previous
+    # formulation joined the unioned FULL rows against winners, which
+    # hashed every payload byte through the merge shuffle.) The _PRIO
+    # component keeps exact (key, version) redelivery collisions
+    # resolving to the batch row: each side only claims winners carrying
+    # its own priority.
+    tgt_w = target.select(*data_cols).join(
+        winners.filter(F.col(_PRIO) == 0).drop(_PRIO),
+        on=[key_col, *version_cols],
+        how="left_semi",
+    )
+    src_w = source.select(*data_cols).join(
+        winners.filter(F.col(_PRIO) == 1).drop(_PRIO),
+        on=[key_col, *version_cols],
+        how="left_semi",
+    )
+    return tgt_w.unionByName(src_w)
 
 
 def merge_resolve(

@@ -92,12 +92,16 @@ class MultiTableEngine:
         epoch_size: int = 50_000,
         n_buckets: int = 16,
         n_delta_groups: int = 8,
+        compact_max_deltas: int = 8,
+        compact_groups_per_epoch: int = 2,
         crash_points: set | None = None,
     ):
         self.spark = spark
         self.wal_path = wal_path
         self.root = root
         self.epoch_size = epoch_size
+        self.compact_max_deltas = compact_max_deltas
+        self.compact_groups_per_epoch = compact_groups_per_epoch
         self.crash_points = crash_points or set()
         os.makedirs(root, exist_ok=True)
         self.pages = SnapshotTable(
@@ -285,6 +289,19 @@ class MultiTableEngine:
         )
         self._crash("after_group_commit")
         self.reconcile()
+        # amortized pages compaction — same bounded round-robin policy as
+        # the single-table engine. Compaction snapshots live only in the
+        # pages table's own ledger (a maintenance commit rewrites files,
+        # not logical state), which the group-ledger reconciliation
+        # tolerates: member ledgers may carry extra maintenance entries.
+        if self.compact_max_deltas:
+            depth = self.pages.delta_depth()
+            deep = sorted(
+                (g for g, d in depth.items() if d >= self.compact_max_deltas),
+                key=lambda g: -depth[g],
+            )[: max(self.compact_groups_per_epoch, 1)]
+            if deep:
+                self.pages.compact_groups(set(deep))
         return MultiEpochResult(epoch_id, lo, hi, n_events, snapshots)
 
     def run(self) -> list[MultiEpochResult]:

@@ -69,6 +69,16 @@ def test_multi_table_final_state_both_tables(spark, tmp_path):
     assert all(r.skipped for r in eng2.run())
     pd.testing.assert_frame_equal(_hosts_pdf(eng2), _expected_hosts(wal_pdf), check_dtype=False)
 
+    # pages maintenance (compaction) is a member-ledger-only commit the
+    # group reconciliation tolerates; logical state is unchanged by it
+    eng2.pages.compact_groups()
+    assert eng2.pages.delta_depth() == {}
+    after = _pages_pdf(eng2)[["url", "warc_ts", "seq", "html", "text"]]
+    pd.testing.assert_frame_equal(after, exp_pages, check_dtype=False)
+    assert all(r.skipped for r in MultiTableEngine(
+        spark, wal, str(tmp_path / "multi"), epoch_size=1_000
+    ).run())
+
 
 def test_multi_table_crash_before_group_commit_is_invisible(spark, tmp_path):
     """Crash after BOTH tables staged but before the group commit: neither

@@ -125,6 +125,40 @@ def test_orphaned_staging_files_are_expired(spark, tmp_path, tmp_table):
     assert final > 0
 
 
+def test_compaction_equilibrium_keeps_depth_bounded(spark, tmp_path, tmp_table):
+    """Round-robin group compaction reaches a steady state: with G groups,
+    a per-group threshold T and at most C groups compacted per epoch, the
+    read amplification (delta layers per group) stays bounded over many
+    epochs — the property that makes MoR maintenance viable at any table
+    size (no whole-table rewrites, bounded work per epoch)."""
+    eng = _mk_engine(
+        spark, tmp_path, tmp_table, n_events=8_000, epoch=500,
+        table_mode="mor", compact_max_deltas=2, n_delta_groups=4,
+        compact_groups_per_epoch=2,
+    )
+    results = eng.run()  # 16 epochs
+    assert len(results) == 16
+    depth = eng.table.delta_depth()
+    assert max(depth.values(), default=0) <= 4  # ≈ T + G/C, never unbounded
+    ledger = eng.table.read_ledger()
+    compactions = [e for e in ledger if e.get("compaction")]
+    assert compactions, "compaction must have run during the epoch stream"
+    assert all(len(e["groups"]) <= 2 for e in compactions)  # bounded per epoch
+    # and the logical state is still exactly the replay oracle
+    import pandas as pd
+
+    from ethereum_etl_spark.oracle import expected_final_state
+
+    got = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    got["html"] = got["html"].map(lambda b: bytes(b) if b is not None else None)
+    exp = expected_final_state(
+        spark.read.parquet(str(tmp_path / "wal")).toPandas()
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["url", "warc_ts", "seq", "html", "text"]], exp, check_dtype=False
+    )
+
+
 def test_snapshot_isolation_read_during_write(spark, tmp_path, tmp_table):
     """A reader bound before an epoch keeps seeing its snapshot while (and
     after) new epochs commit — reads bind to the manifest's file list, and
