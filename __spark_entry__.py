@@ -606,6 +606,22 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the brute-force verifier shape;
+    the scale path is the LSH/IVF ANN operators). The threshold is
+    applied to the ROUNDED cosine in both engines so boundary pairs
+    cannot flip between them."""
+    from ethereum_etl_spark.operators.dedupe import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = embedding_near_dup_pairs(e, threshold=-2.0)  # filter after rounding
+    return (
+        pairs.withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def q_graph_path_product(spark, sf_dir):
     """J5 closed fully: BFS min-hops + MAX product of positive edge
     weights over minimal-hop paths (the reference folds balance ratios
@@ -778,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame": q_range_frame,
         "jaccard_3gram_pairs": q_jaccard_3gram_pairs,
         "graph_path_product": q_graph_path_product,
+        "embedding_near_dup": q_embedding_near_dup,
         "scalar_bigint": q_scalar_bigint,
         "csv_export": q_csv_export,
         "multi_table_hosts": q_multi_table_hosts,
@@ -964,6 +981,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
         """,
 
+        "embedding_near_dup": """
+            WITH v AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+                       FROM embeddings WHERE vec_id < 200)
+            SELECT id_a, id_b, cosine FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(a.ev, b.ev)
+                             / (sqrt(list_dot_product(a.ev, a.ev))
+                                * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
+                FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.3
+        """,
         "graph_path_product": """
             WITH RECURSIVE e AS (
                 SELECT src, dst,
