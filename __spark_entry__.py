@@ -622,6 +622,23 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_session_window(spark, sf_dir):
+    """Session windows (§2.5): per-user sessions with a 30-minute
+    inactivity gap via F.session_window; the oracle is the classic
+    gaps-and-islands SQL (lag + cumulative break sum)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("first_event"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.col("n").cast("long").alias("n"),
+            F.col("first_event").cast("long").alias("first_event"),
+        )
+    )
+
+
 def q_graph_path_product(spark, sf_dir):
     """J5 closed fully: BFS min-hops + MAX product of positive edge
     weights over minimal-hop paths (the reference folds balance ratios
@@ -794,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame": q_range_frame,
         "jaccard_3gram_pairs": q_jaccard_3gram_pairs,
         "graph_path_product": q_graph_path_product,
+        "session_window": q_session_window,
         "embedding_near_dup": q_embedding_near_dup,
         "scalar_bigint": q_scalar_bigint,
         "csv_export": q_csv_export,
@@ -992,6 +1010,22 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
                 FROM v a JOIN v b ON a.vec_id < b.vec_id)
             WHERE cosine >= 0.3
+        """,
+        "session_window": """
+            WITH o AS (SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                 s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM o)
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(event_id) AS BIGINT) AS first_event
+            FROM s GROUP BY user_id, sid
         """,
         "graph_path_product": """
             WITH RECURSIVE e AS (
