@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("show", help="table / ledger summary")
     _add_engine_args(s)
+    s.add_argument("--snapshot", default=None,
+                   help="time-travel: show this committed snapshot id "
+                        "(VERSION AS OF) instead of the current one")
 
     c = sub.add_parser("compact", help="collapse merge-on-read delta stacks into base files")
     _add_engine_args(c)
@@ -182,8 +185,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "show":
-        snap = engine.table.current_snapshot()
-        df = engine.read_table()
+        snap = (
+            engine.table.read_snapshot_meta(args.snapshot)
+            if args.snapshot
+            else engine.table.current_snapshot()
+        )
+        df = engine.read_table(snapshot_id=args.snapshot)
         print(json.dumps({
             "snapshot": snap.snapshot_id if snap else None,
             "schema_version": snap.schema_version if snap else None,

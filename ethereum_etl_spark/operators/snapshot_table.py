@@ -271,15 +271,27 @@ class SnapshotTable:
         )
         return df.join(winners, on="seq", how="inner").select(*df.columns)
 
-    def read(self) -> DataFrame | None:
-        """Current table state (user columns + __bucket), one row per key.
+    def read(self, snapshot_id: str | None = None) -> DataFrame | None:
+        """Table state (user columns + __bucket), one row per key.
 
         CoW snapshots (base files only) are returned as-is; when delta
         files are present (merge-on-read), the LWW collapse happens here —
         version order (warc_ts, seq) is total because seq is unique, so
         read-time merge is exactly the sink-time merge deferred.
+
+        With ``snapshot_id`` this is a time-travel read of that committed
+        snapshot (Iceberg ``VERSION AS OF``). Either way the file list is
+        pinned from the chosen manifest at plan time, so a reader holds a
+        consistent snapshot while writers commit — commits only ADD files
+        and flip the ledger tail; files die only via ``expire_snapshots``,
+        which bounds reader staleness exactly like Iceberg's
+        retention-expiry contract.
         """
-        snap = self.current_snapshot()
+        snap = (
+            self.read_snapshot_meta(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
         if snap is None:
             return None
         df = self._read_files(snap.files, snap.schema_version)

@@ -492,8 +492,10 @@ class CDCEngine:
             results.append(self.run_epoch(epoch_id, lo, hi))
         return results
 
-    def read_table(self, include_tombstones: bool = False) -> DataFrame | None:
-        df = self.table.read()
+    def read_table(
+        self, include_tombstones: bool = False, snapshot_id: str | None = None
+    ) -> DataFrame | None:
+        df = self.table.read(snapshot_id=snapshot_id)
         if df is None:
             return None
         if not include_tombstones:

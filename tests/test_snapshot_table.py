@@ -206,3 +206,35 @@ def test_tailer_applies_growing_wal(spark, tmp_path, tmp_table):
     assert sum(x.n_events for x in r2) == 1_500
     assert eng.table.high_watermark() == 2_999
     assert eng.read_table().count() == eng.read_table().select("url").distinct().count()
+
+
+def test_reader_snapshot_isolation_and_time_travel(spark, tmp_path, tmp_table):
+    """A reader's plan pins the manifest file list at read() time: a
+    writer committing further epochs (and new delta files) must not leak
+    into it — commits only add files; nothing the pinned reader
+    references is deleted until expire_snapshots. Time travel
+    (read(snapshot_id=...)) reproduces the same pinned state later."""
+    eng = _mk_engine(spark, tmp_path, tmp_table)
+    plan = eng.plan_epochs()
+    for e in plan[:2]:
+        eng.run_epoch(*e)
+    snap_mid = eng.table.current_snapshot().snapshot_id
+    pinned = eng.read_table()  # lazy; file list resolved NOW
+    before = pinned.toPandas().sort_values("url").reset_index(drop=True)
+
+    for e in plan[2:]:  # concurrent writer advances the table
+        eng.run_epoch(*e)
+
+    after = pinned.toPandas().sort_values("url").reset_index(drop=True)
+    assert before.equals(after)  # isolation: pinned reader unmoved
+
+    cur = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    assert int(cur["seq"].max()) > int(after["seq"].max())  # fresh read advanced
+
+    tt = (
+        eng.read_table(snapshot_id=snap_mid)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert tt.equals(after)  # VERSION AS OF reproduces the mid state
