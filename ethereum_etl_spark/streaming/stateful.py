@@ -24,7 +24,10 @@ payload-light discipline as ``lww_agg``.
 
 Arrow note: ``applyInPandasWithState`` is the Arrow-vectorized stateful
 API (input_hint: pandas/Arrow UDFs only); per-group work below is
-vectorized pandas over the batch, not per-row Python.
+vectorized pandas over the batch, not per-row Python. Spark 4's newer
+``transformWithStateInPandas`` (state API v2) would express the TTL as
+a registered timer, but it requires protobuf, which this environment
+does not ship — the v1 API below is the one that runs everywhere.
 """
 
 from __future__ import annotations
