@@ -185,11 +185,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "show":
-        snap = (
-            engine.table.read_snapshot_meta(args.snapshot)
-            if args.snapshot
-            else engine.table.current_snapshot()
-        )
+        if args.snapshot:
+            try:
+                snap = engine.table.read_snapshot_meta(args.snapshot)
+            except FileNotFoundError:
+                print(json.dumps({
+                    "error": f"unknown or expired snapshot {args.snapshot!r}",
+                    "known": [e["snapshot_id"] for e in engine.table.read_ledger()],
+                }))
+                return 1
+        else:
+            snap = engine.table.current_snapshot()
         df = engine.read_table(snapshot_id=args.snapshot)
         print(json.dumps({
             "snapshot": snap.snapshot_id if snap else None,
