@@ -649,7 +649,7 @@ def schema_for_version(registry: SchemaRegistry | None, version: int) -> T.Struc
 def _upgrade_df(
     df: DataFrame, from_version: int, to_version: int, registry: SchemaRegistry | None
 ) -> DataFrame:
-    """Apply add/rename changes in (from_version, to_version] to a DataFrame."""
+    """Apply add/rename/drop changes in (from_version, to_version] to a DataFrame."""
     if from_version == to_version or registry is None:
         return df
     from ethereum_etl_spark.schemas import _SPARK_TYPES
@@ -663,4 +663,8 @@ def _upgrade_df(
             elif "rename_column" in c.change:
                 spec = c.change["rename_column"]
                 df = df.withColumnRenamed(spec["from"], spec["to"])
+            elif "drop_column" in c.change:
+                spec = c.change["drop_column"]
+                if spec["name"] in df.columns:
+                    df = df.drop(spec["name"])
     return df

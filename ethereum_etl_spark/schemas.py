@@ -76,7 +76,7 @@ class SchemaChange:
 
     schema_version: int
     effective_seq: int
-    change: dict  # {"add_column": {...}} | {"rename_column": {...}}
+    change: dict  # {"add_column": {...}} | {"rename_column": {...}} | {"drop_column": {...}}
 
     def to_json(self) -> str:
         return json.dumps(
@@ -112,7 +112,7 @@ class SchemaRegistry:
 
     ``schema_at(seq)`` resolves the StructType in effect at a WAL offset;
     the merge writer calls it per epoch and applies evolution DDL
-    (add/rename) to the target before merging the epoch that requires it.
+    (add/rename/drop) to the target before merging the epoch that requires it.
     """
 
     base_schema: T.StructType
@@ -173,4 +173,9 @@ def apply_change(schema: T.StructType, change: dict) -> T.StructType:
                 for f in schema.fields
             ]
         )
+    if "drop_column" in change:
+        spec = change["drop_column"]
+        if spec["name"] not in schema.fieldNames():
+            raise ValueError(f"drop_column: no such column {spec['name']!r}")
+        return T.StructType([f for f in schema.fields if f.name != spec["name"]])
     raise ValueError(f"unknown schema change: {change}")

@@ -94,3 +94,50 @@ def test_rename_column_round_trip(spark, tmp_path, tmp_table):
     assert "language" in got.columns and "lang" not in got.columns
     pdf = got.toPandas()
     assert pdf["language"].notna().any()
+
+
+def test_drop_column_round_trip(spark, tmp_path, tmp_table):
+    """v2 adds `lang` mid-stream, v3 DROPS it later (the full Iceberg DDL
+    set: ADD / RENAME / DROP). Epochs written under v2 carry the column;
+    reads at v3 project it away; compaction rewrites v1+v2 files to v3
+    without changing the logical state."""
+    n, eff_add, eff_drop = 6_000, 2_000, 4_000
+    cfg = WalConfig(n_events=n, n_urls=1_000, lang_effective_seq=eff_add)
+    p = str(tmp_path / "wal_drop")
+    write_wal(gen_wal(spark, cfg), p, n_files=4)
+
+    reg = _registry(eff_add)
+    reg.add_change(
+        SchemaChange(
+            schema_version=3,
+            effective_seq=eff_drop,
+            change={"drop_column": {"name": "lang"}},
+        )
+    )
+    eng = CDCEngine(
+        spark, p, tmp_table,
+        registry=reg,
+        config=EngineConfig(epoch_size=1_500, n_buckets=8),
+    )
+    eng.run()
+
+    entries = sorted(eng.table.committed_epochs().values(), key=lambda e: e["start_seq"])
+    assert [e["schema_version"] for e in entries] == [1, 2, 3, 3]
+
+    got = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    assert "lang" not in got.columns
+    got["html"] = got["html"].map(lambda b: bytes(b) if b is not None else None)
+    exp = expected_final_state(spark.read.parquet(p).toPandas()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["url", "warc_ts", "seq", "html", "text"]], exp, check_dtype=False
+    )
+
+    # compaction across all three versions lands every file on v3
+    eng.table.compact_buckets()
+    after = eng.read_table().toPandas().sort_values("url").reset_index(drop=True)
+    assert "lang" not in after.columns
+    after["html"] = after["html"].map(lambda b: bytes(b) if b is not None else None)
+    pd.testing.assert_frame_equal(
+        after[["url", "warc_ts", "seq", "html", "text"]], exp, check_dtype=False
+    )
+    assert {f.schema_version for f in eng.table.current_snapshot().files} == {3}
