@@ -29,6 +29,25 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lww-method", default="auto", choices=["auto", "agg", "salted", "window"])
     p.add_argument("--n-salt", type=int, default=16)
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--schema-changes", default=None, metavar="PATH",
+                   help="JSON file with change-schema records driving "
+                        "ADD/RENAME/DROP COLUMN evolution: a list of "
+                        '{"schema_version": int, "effective_seq": int, '
+                        '"change": {...}} objects (north rule: registry-'
+                        "driven schema-update DDL)")
+
+
+def _load_registry(path: str | None):
+    if path is None:
+        return None
+    from ethereum_etl_spark.schemas import PAGES_SCHEMA_V1, SchemaChange, SchemaRegistry
+
+    with open(path) as f:
+        records = json.load(f)
+    reg = SchemaRegistry(base_schema=PAGES_SCHEMA_V1)
+    for r in records:
+        reg.add_change(SchemaChange(r["schema_version"], r["effective_seq"], r["change"]))
+    return reg
 
 
 def _build_engine(args):
@@ -42,6 +61,9 @@ def _build_engine(args):
         lww_method=args.lww_method,
         n_salt=args.n_salt,
     )
+    registry = _load_registry(args.schema_changes)
+    if registry is not None:
+        return CDCEngine(spark, args.wal, args.table, registry=registry, config=cfg)
     return CDCEngine(spark, args.wal, args.table, config=cfg)
 
 
