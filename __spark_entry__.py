@@ -270,6 +270,23 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_lag_gaps(spark, sf_dir):
+    """LEAD/LAG (§2.5): per-user inter-event gap in seconds; the CDC
+    shape behind session cuts and rate metrics. Deterministic order by
+    (ts, event_id); first event per user has NULL gap (kept, as -1)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))),
+            F.lit(-1),
+        ).cast("long").alias("gap_s"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).cast("long").alias("next_event"),
+    )
+
+
 def q_topk_orders(spark, sf_dir):
     """Sort/limit top-k (O2/O4)."""
     return (
@@ -796,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti": q_semi_anti,
         "union_except": q_union_except,
         "window_running": q_window_running,
+        "lag_gaps": q_lag_gaps,
         "topk_orders": q_topk_orders,
         "rollup_counts": q_rollup_counts,
         "scalar_suite": q_scalar_suite,
@@ -970,6 +988,15 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "lag_gaps": """
+            SELECT user_id, event_id,
+                   CAST(coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+                                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT),
+                                 -1) AS BIGINT) AS gap_s,
+                   CAST(coalesce(lead(event_id) OVER w, -1) AS BIGINT) AS next_event
+            FROM events WHERE user_id < 50
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "rollup_counts": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
