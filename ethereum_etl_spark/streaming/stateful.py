@@ -117,6 +117,7 @@ def _make_lww_update(ttl_ms: int | None):
 def streaming_lww_latest(
     events: DataFrame,
     state_ttl_ms: int | None = None,
+    output_mode: str = "update",
 ) -> DataFrame:
     """Compacted LWW change-stream over a streaming WAL.
 
@@ -130,6 +131,11 @@ def streaming_lww_latest(
     Caveat: with a TTL, run the query with a continuous trigger — once
     group timeouts are registered, Spark schedules state-cleanup batches
     indefinitely, so ``trigger(availableNow=True)`` never terminates.
+
+    ``output_mode`` must match the sink's: "update" for memory/foreach
+    sinks, "append" for append-only sinks (parquet change-log). The
+    emissions are identical either way — the operator only ever yields
+    winner *transitions*, which are append-safe by construction.
     """
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -141,6 +147,6 @@ def streaming_lww_latest(
         _make_lww_update(state_ttl_ms),
         outputStructType=LWW_STATE_OUTPUT_SCHEMA,
         stateStructType=_LWW_STATE_SCHEMA,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf=timeout,
     )

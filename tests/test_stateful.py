@@ -146,3 +146,56 @@ def test_ttl_variant_smoke(spark, tmp_path):
     finally:
         q.stop()
     assert list(emitted.sort_values("seq")["seq"]) == [1, 2]
+
+
+def test_compacted_stream_materializes_to_batch_final_state(spark, tmp_path):
+    """The documented composition for the stateful operator: append its
+    emissions to a change-log, LWW-collapse that log, drop delete
+    winners, re-join payload from the WAL by seq — the result equals the
+    batch oracle's final table state. Proves the compacted change-stream
+    is a usable apply path, not just a monitor."""
+    import pandas as pd
+
+    from ethereum_etl_spark.oracle import expected_final_state
+    from ethereum_etl_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    wal = str(tmp_path / "wal")
+    write_wal(gen_wal(spark, WalConfig(n_events=2_500, n_urls=350)), wal, n_files=4)
+    changes = str(tmp_path / "changes")
+
+    stream = (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wal)
+    )
+    q = (
+        streaming_lww_latest(stream, output_mode="append")
+        .writeStream.format("parquet")
+        .option("path", changes)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")  # parquet sink is append-only; the log
+        .trigger(availableNow=True)  # carries every winner transition
+        .start()
+    )
+    q.awaitTermination()
+
+    log = spark.read.parquet(changes)
+    final_keys = lww_window(log)  # per-key max transition = final winner
+    from pyspark.sql import functions as F
+
+    live = final_keys.filter(F.col("op") != "delete").select("seq")
+    got = (
+        spark.read.parquet(wal)
+        .join(live, on="seq", how="inner")
+        .select("url", "warc_ts", "seq", "html")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    got["html"] = got["html"].map(lambda b: bytes(b) if b is not None else None)
+    exp = expected_final_state(spark.read.parquet(wal).toPandas()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["url", "warc_ts", "seq", "html"]],
+        exp[["url", "warc_ts", "seq", "html"]],
+        check_dtype=False,
+    )
