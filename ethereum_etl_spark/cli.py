@@ -89,6 +89,15 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--poll-interval", type=float, default=1.0)
     t.add_argument("--max-polls", type=int, default=None)
 
+    st = sub.add_parser("stream", help="Structured Streaming front-end: "
+                        "readStream + foreachBatch drains the WAL into the "
+                        "engine ledger (availableNow), exactly-once")
+    _add_engine_args(st)
+    st.add_argument("--checkpoint", required=True,
+                    help="Spark streaming checkpoint dir (source progress; "
+                         "sink exactly-once stays with the engine ledger)")
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+
     s = sub.add_parser("show", help="table / ledger summary")
     _add_engine_args(s)
     s.add_argument("--snapshot", default=None,
@@ -174,6 +183,20 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         print(json.dumps({"epochs": len(results)}))
+        return 0
+
+    if args.cmd == "stream":
+        from ethereum_etl_spark.streaming.stream_apply import stream_apply
+
+        results = stream_apply(
+            engine, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(json.dumps({
+            "epochs": len(results),
+            "events": sum(r.n_events for r in results),
+            "high_watermark": engine.table.high_watermark(),
+        }))
         return 0
 
     if args.cmd == "compact":
