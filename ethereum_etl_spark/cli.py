@@ -98,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
                          "sink exactly-once stays with the engine ledger)")
     st.add_argument("--max-files-per-trigger", type=int, default=None)
 
+    ln = sub.add_parser("lineage", help="per-epoch, per-file lineage rows "
+                        "(offsets, row counts, bytes, commit snapshot)")
+    _add_engine_args(ln)
+    ln.add_argument("--epoch", type=int, default=None,
+                    help="only this epoch's rows (default: summary of all)")
+
     s = sub.add_parser("show", help="table / ledger summary")
     _add_engine_args(s)
     s.add_argument("--snapshot", default=None,
@@ -197,6 +203,38 @@ def main(argv: list[str] | None = None) -> int:
             "events": sum(r.n_events for r in results),
             "high_watermark": engine.table.high_watermark(),
         }))
+        return 0
+
+    if args.cmd == "lineage":
+        from pyspark.sql import functions as F
+
+        df = engine.read_lineage()
+        if df is None:
+            print(json.dumps({"epochs": 0, "rows": []}))
+            return 0
+        if args.epoch is not None:
+            rows = [
+                {k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                 for k, v in r.asDict().items()}
+                for r in df.filter(F.col("epoch_id") == args.epoch)
+                           .orderBy("start_seq").collect()
+            ]
+            print(json.dumps({"epoch": args.epoch, "rows": rows}))
+            return 0
+        summary = (
+            df.groupBy("epoch_id")
+            .agg(
+                F.count("*").alias("files"),
+                F.sum("row_count").alias("rows"),
+                F.sum("bytes").alias("bytes"),
+                F.min("start_seq").alias("start_seq"),
+                F.max("end_seq").alias("end_seq"),
+                F.first("snapshot_id").alias("snapshot"),
+            )
+            .orderBy("epoch_id")
+            .collect()
+        )
+        print(json.dumps({"epochs": [r.asDict() for r in summary]}))
         return 0
 
     if args.cmd == "compact":
