@@ -79,6 +79,9 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--hot-frac", type=float, default=0.0)
     g.add_argument("--ooo-frac", type=float, default=0.1)
     g.add_argument("--n-files", type=int, default=32)
+    g.add_argument("--lang-effective-seq", type=int, default=None,
+                   help="seq from which events carry a `lang` value "
+                        "(pairs with apply --schema-changes add_column)")
     g.add_argument("--cores", type=int, default=None)
 
     a = sub.add_parser("apply", help="historical replay (all pending epochs)")
@@ -160,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg = WalConfig(
             n_events=args.n_events, n_urls=args.n_urls, seed=args.seed,
             hot_frac=args.hot_frac, ooo_frac=args.ooo_frac,
+            lang_effective_seq=args.lang_effective_seq,
         )
         write_wal(gen_wal(spark, cfg), args.out, n_files=args.n_files)
         print(json.dumps({"written": args.out, "n_events": args.n_events}))
