@@ -287,6 +287,30 @@ def q_lag_gaps(spark, sf_dir):
     )
 
 
+def q_percentile_map_stats(spark, sf_dir):
+    """Exact percentiles (§2.4 widening) + map-type scalars (§2.8: the
+    reference serializes dict values for cache keys, src/utils/common.py:9-14):
+    per-status price quartiles are packed into a MAP column and read back
+    via element_at/map_keys — scalar outputs so the oracle hash-compares."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("_p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("_p50"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("_p75"),
+    )
+    m = F.create_map(
+        F.lit("p25"), F.col("_p25"), F.lit("p50"), F.col("_p50"), F.lit("p75"), F.col("_p75")
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.element_at(m, "p25").alias("p25"),
+        F.element_at(m, "p50").alias("p50"),
+        F.element_at(m, "p75").alias("p75"),
+        F.size(F.map_keys(m)).cast("long").alias("n_stats"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("stat_keys"),
+    )
+
+
 def q_topk_orders(spark, sf_dir):
     """Sort/limit top-k (O2/O4)."""
     return (
@@ -814,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_except": q_union_except,
         "window_running": q_window_running,
         "lag_gaps": q_lag_gaps,
+        "percentile_map_stats": q_percentile_map_stats,
         "topk_orders": q_topk_orders,
         "rollup_counts": q_rollup_counts,
         "scalar_suite": q_scalar_suite,
@@ -997,6 +1022,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(lead(event_id) OVER w, -1) AS BIGINT) AS next_event
             FROM events WHERE user_id < 50
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "percentile_map_stats": """
+            SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.25) AS p25,
+                   quantile_cont(o_totalprice, 0.5)  AS p50,
+                   quantile_cont(o_totalprice, 0.75) AS p75,
+                   CAST(3 AS BIGINT) AS n_stats,
+                   'p25,p50,p75' AS stat_keys
+            FROM orders GROUP BY o_orderstatus
         """,
         "rollup_counts": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
