@@ -27,6 +27,11 @@ Tables driven here:
                  enriched lookup dims (account/pool/token aggregates).
                  Additive deltas are exactly-once because epochs are:
                  each epoch's contribution is folded in exactly once.
+
+Known limitation: member tables run at schema version 1 — the
+registry-driven evolution lives in the single-table engine
+(plans/engine.py); fanning a schema change across N member tables
+would reuse the same per-epoch ``version_at`` resolution here.
 """
 
 from __future__ import annotations
