@@ -329,6 +329,28 @@ def q_rollup_counts(spark, sf_dir):
     )
 
 
+def q_cube_counts(spark, sf_dir):
+    """CUBE grouping sets (§2.4): all four grouping combinations in one
+    pass — completes the rollup/cube pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum("l_quantity").alias("qty")
+    )
+
+
+def q_except_all_multiplicity(spark, sf_dir):
+    """EXCEPT ALL (§2.7): bag difference with multiplicity — each F-status
+    occurrence cancels exactly one occurrence of its priority value."""
+    o = _t(spark, sf_dir, "orders")
+    allp = o.select("o_orderpriority")
+    fp = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return (
+        allp.exceptAll(fp)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_scalar_suite(spark, sf_dir):
     """Scalar function inventory (§2.8): hex↔dec conv, substring, lpad,
     lower, nullif-style empty→null, array size/element_at on split."""
@@ -839,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "lag_gaps": q_lag_gaps,
         "percentile_map_stats": q_percentile_map_stats,
+        "cube_counts": q_cube_counts,
+        "except_all_multiplicity": q_except_all_multiplicity,
         "topk_orders": q_topk_orders,
         "rollup_counts": q_rollup_counts,
         "scalar_suite": q_scalar_suite,
@@ -1036,6 +1060,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "except_all_multiplicity": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT o_orderpriority FROM orders
+                  EXCEPT ALL
+                  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+            GROUP BY o_orderpriority
         """,
         "scalar_suite": """
             SELECT o_orderkey,
