@@ -772,6 +772,7 @@ def _multi_engine(spark, sf_dir):
     deterministically from the events table. Re-invocation is an
     exactly-once no-op (ledger skip), so both multi_table_* queries
     share one applied state."""
+    import hashlib
     import os
     import tempfile
 
@@ -780,9 +781,10 @@ def _multi_engine(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     n = ev.count()
-    root = os.path.join(
-        tempfile.gettempdir(), f"etl_spark_multi_{abs(hash(sf_dir)) % 99999}_{n}"
-    )
+    # stable digest (NOT Python hash(), which is salted per process — a
+    # per-process root would leak stale state dirs across runs)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"etl_spark_multi_{tag}_{n}")
     wal = os.path.join(root, "wal")
     if not os.path.exists(wal):
         derived = ev.select(

@@ -268,7 +268,22 @@ def main(argv: list[str] | None = None) -> int:
             "html_len", F.length("html")
         ).drop("html")
         out_df.write.mode("overwrite").option("header", True).csv(args.out)
-        print(json.dumps({"exported": out_df.count(), "path": args.out}))
+        # summarize from the written artifact's metadata — the previous
+        # out_df.count() here re-read the WHOLE table a second time (and
+        # re-ran the MoR collapse) just for a log line
+        import os
+
+        shards = [
+            os.path.join(args.out, fn)
+            for fn in os.listdir(args.out)
+            if fn.endswith(".csv")
+        ]
+        print(json.dumps({
+            "path": args.out,
+            "files": len(shards),
+            "bytes": sum(os.path.getsize(p) for p in shards),
+            "high_watermark": engine.table.high_watermark(),
+        }))
         return 0
 
     if args.cmd == "show":

@@ -14,12 +14,19 @@ same *semantics* dependency-free:
 - **Manifests**: JSON per snapshot listing (file, bucket, schema_version,
   rows, bytes). A snapshot = carried-over files of untouched buckets +
   newly written files.
-- **Atomic ledger**: the ONLY commit point. ``ledger.json`` is replaced
-  via ``os.replace`` (atomic on POSIX); data/manifest files written before
-  a crash are simply unreferenced (invisible) — this is the write-ahead
+- **Atomic ledger**: the ONLY commit point. ``ledger.jsonl`` is an
+  append-only, fsync'd JSONL log: a commit is ONE ``write()`` of one
+  ``\n``-terminated line, so per-epoch commit cost is O(1) — at the
+  10^10-event posture (~200k epochs) the driver never re-serializes the
+  history (the previous whole-file ``os.replace`` rewrite was O(n) per
+  commit, O(n²) cumulative). A torn tail (crash mid-write) is detected
+  on load — last line unterminated or undecodable — ignored, and
+  truncated away by the next append; data/manifest files written before
+  a crash are simply unreferenced (invisible). This is the write-ahead
   discipline that makes every epoch idempotent and the whole stream
-  exactly-once. On a real cluster this single file becomes an Iceberg
-  catalog / metastore CAS swap; the protocol is identical.
+  exactly-once. On a real cluster this log becomes an Iceberg catalog /
+  metastore CAS swap; the protocol is identical. (Tables written by
+  earlier builds keep their ``ledger.json`` as a read-only prefix.)
 - **Schema evolution**: each file records the schema version it was
   written under; reads group files by version and upgrade (add-column →
   null fill, rename → projection) to the current schema — the Iceberg
@@ -43,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ethereum_etl_spark.schemas import SchemaRegistry
+from ethereum_etl_spark.schemas import SchemaRegistry, schema_for_version
 
 BUCKET_COL = "__bucket"
 TOMBSTONE_COL = "__deleted"
@@ -54,6 +61,69 @@ _GROUP_DIR = "__group_dir"
 def bucket_expr(key_col: str, n_buckets: int):
     """Identity-stable hash bucket for a key (same fn everywhere)."""
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class AppendLog:
+    """Append-only fsync'd JSONL commit log with torn-tail repair.
+
+    The atomicity unit is one ``\\n``-terminated line written with a
+    single ``write()``: either the line (and its newline) is durable, or
+    the tail is partial — ``entries()`` stops at the first unterminated
+    or undecodable line, and the next ``append()`` truncates the torn
+    bytes before writing. Single-writer (one driver), like the rest of
+    the table. An optional legacy ``{"entries": [...]}`` JSON file is
+    honored as a read-only prefix so pre-JSONL tables keep replaying.
+    """
+
+    def __init__(self, jsonl_path: str, legacy_json_path: str | None = None):
+        self.jsonl_path = jsonl_path
+        self.legacy_json_path = legacy_json_path
+        self._entries: list[dict] | None = None
+        self._valid_bytes = 0  # bytes of jsonl known to hold whole lines
+
+    def _load(self) -> None:
+        if self._entries is not None:
+            return
+        entries: list[dict] = []
+        if self.legacy_json_path and os.path.exists(self.legacy_json_path):
+            with open(self.legacy_json_path) as f:
+                entries.extend(json.load(f)["entries"])
+        self._valid_bytes = 0
+        if os.path.exists(self.jsonl_path):
+            with open(self.jsonl_path, "rb") as f:
+                data = f.read()
+            off = 0
+            while off < len(data):
+                nl = data.find(b"\n", off)
+                if nl < 0:
+                    break  # torn tail: ignore; truncated by next append
+                line = data[off:nl].strip()
+                if line:
+                    try:
+                        entries.append(json.loads(line))
+                    except ValueError:
+                        break  # corrupt line: treat as torn tail
+                off = nl + 1
+                self._valid_bytes = off
+        self._entries = entries
+
+    def entries(self) -> list[dict]:
+        self._load()
+        return self._entries  # internal list; callers treat as read-only
+
+    def append(self, entry: dict) -> None:
+        self._load()
+        line = (json.dumps(entry, separators=(",", ":")) + "\n").encode()
+        fd = os.open(self.jsonl_path, os.O_WRONLY | os.O_CREAT, 0o644)
+        try:
+            os.ftruncate(fd, self._valid_bytes)  # drop any torn tail
+            os.lseek(fd, self._valid_bytes, os.SEEK_SET)
+            os.write(fd, line)  # ONE write: the atomic commit
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        self._valid_bytes += len(line)
+        self._entries.append(entry)
 
 
 def group_of_bucket(bucket: int, n_groups: int) -> int:
@@ -145,34 +215,39 @@ class SnapshotTable:
     # ------------------------------------------------------------------
     # Ledger (the atomic commit point)
     # ------------------------------------------------------------------
+    # All derived views (committed-epoch index, high watermark) are
+    # incremental caches over the AppendLog: per-epoch driver cost is
+    # O(1), not O(n_epochs) — at ~200k epochs the old rescan-per-commit
+    # pattern was the quadratic term in the soak.
 
-    @property
-    def _ledger_path(self) -> str:
-        return os.path.join(self.root, "ledger.json")
+    def _log(self) -> AppendLog:
+        if getattr(self, "_ledger_log", None) is None:
+            self._ledger_log = AppendLog(
+                os.path.join(self.root, "ledger.jsonl"),
+                legacy_json_path=os.path.join(self.root, "ledger.json"),
+            )
+            entries = self._ledger_log.entries()
+            self._committed = {e["epoch_id"]: e for e in entries if "epoch_id" in e}
+            self._hw = max((e.get("end_seq", -1) for e in entries), default=-1)
+        return self._ledger_log
 
     def read_ledger(self) -> list[dict]:
-        if not os.path.exists(self._ledger_path):
-            return []
-        with open(self._ledger_path) as f:
-            return json.load(f)["entries"]
+        return self._log().entries()
 
     def _append_ledger(self, entry: dict) -> None:
-        entries = self.read_ledger()
-        entries.append(entry)
-        tmp = self._ledger_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"entries": entries}, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._ledger_path)  # atomic: THE commit
+        self._log().append(entry)
+        if "epoch_id" in entry:
+            self._committed[entry["epoch_id"]] = entry
+        self._hw = max(self._hw, entry.get("end_seq", -1))
 
     def committed_epochs(self) -> dict[int, dict]:
-        return {e["epoch_id"]: e for e in self.read_ledger() if "epoch_id" in e}
+        self._log()
+        return self._committed
 
     def high_watermark(self) -> int:
         """Highest WAL seq applied (exclusive resume point); -1 if empty."""
-        entries = self.read_ledger()
-        return max((e.get("end_seq", -1) for e in entries), default=-1)
+        self._log()
+        return self._hw
 
     # ------------------------------------------------------------------
     # Manifests
@@ -271,8 +346,17 @@ class SnapshotTable:
         )
         return df.join(winners, on="seq", how="inner").select(*df.columns)
 
-    def read(self, snapshot_id: str | None = None) -> DataFrame | None:
+    def read(
+        self, snapshot_id: str | None = None, assume_unique_seq: bool = True
+    ) -> DataFrame | None:
         """Table state (user columns + __bucket), one row per key.
+
+        ``assume_unique_seq`` is the WAL contract (seq is the unique total
+        order), which lets the MoR collapse stay payload-light. For
+        at-least-once WALs where one event can be redelivered into two
+        files of an epoch, pass False: rows are first deduped on
+        (key, seq) — one payload shuffle, the price of the weaker
+        contract — so the seq equi-join cannot emit duplicate rows.
 
         CoW snapshots (base files only) are returned as-is; when delta
         files are present (merge-on-read), the LWW collapse happens here —
@@ -296,6 +380,8 @@ class SnapshotTable:
             return None
         df = self._read_files(snap.files, snap.schema_version)
         if df is not None and any(f.kind == "delta" for f in snap.files):
+            if not assume_unique_seq:
+                df = df.dropDuplicates([self.key_col, "seq"])
             df = self._collapse_payload_light(df)
         return df
 
@@ -528,7 +614,11 @@ class SnapshotTable:
     # Merge-on-read compaction
     # ------------------------------------------------------------------
 
-    def compact_groups(self, groups: set[int] | None = None) -> str | None:
+    def compact_groups(
+        self,
+        groups: set[int] | None = None,
+        tombstone_retention_seqs: int | None = None,
+    ) -> str | None:
         """Collapse base+delta stacks of the given compaction groups into
         fresh base files and commit a compaction snapshot.
 
@@ -540,11 +630,18 @@ class SnapshotTable:
         full rewrite). The collapse itself is payload-light: winner seqs
         from a pruned projection, payload fetched by equi-join.
 
-        Tombstone rows are RETAINED in the compacted base: a late
-        out-of-order event for a deleted key must still lose the version
-        comparison on read (merge.py's resurrection argument). The read
-        path filters tombstones; replay-window retention may drop them
-        later. Returns the new snapshot id, or None if nothing to do.
+        Tombstone rows are RETAINED in the compacted base by default: a
+        late out-of-order event for a deleted key must still lose the
+        version comparison on read (merge.py's resurrection argument).
+        With ``tombstone_retention_seqs`` set, tombstones that fell out
+        of the replay window — winning seq ≤ high_watermark − retention,
+        i.e. any event that could still contend with them has already
+        been applied — are dropped during compaction, so deleted keys
+        stop accumulating forever at churny-key scale (the reference's
+        retention leaves no delete residue either —
+        src/repositories/sqlite/base.py:210-227). Tombstones still
+        inside the window survive and keep winning against late events.
+        Returns the new snapshot id, or None if nothing to do.
         """
         snap = self.current_snapshot()
         if snap is None:
@@ -568,6 +665,16 @@ class SnapshotTable:
             untouched = [f for f in snap.files if not _is_touched(f)]
         df = self._read_files(touched, snap.schema_version)
         collapsed = self._collapse_payload_light(df)
+        if (
+            tombstone_retention_seqs is not None
+            and TOMBSTONE_COL in collapsed.columns
+            and "seq" in collapsed.columns
+        ):
+            cutoff = self.high_watermark() - tombstone_retention_seqs
+            collapsed = collapsed.filter(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+                | (F.col("seq") > cutoff)
+            )
         # delta rows carry no bucket (written shuffle-free); recompute
         # from the key so the compacted base is fully bucketed
         collapsed = collapsed.withColumn(
@@ -610,7 +717,13 @@ class SnapshotTable:
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by expired snapshots
         (retention analog — reference free_space/reclaim_space,
-        src/repositories/sqlite/base.py:210-238). Returns files deleted."""
+        src/repositories/sqlite/base.py:210-238). Returns files deleted.
+
+        Manifests of expired snapshots are deleted too, so a time-travel
+        read of an expired snapshot fails FAST at the manifest lookup
+        (clean "unknown or expired" error) instead of passing the
+        manifest read and then blowing up mid-scan on missing data files.
+        """
         entries = self.read_ledger()
         if len(entries) <= keep_last:
             return 0
@@ -626,24 +739,19 @@ class SnapshotTable:
                 if fn.endswith(".parquet") and rel not in live_files:
                     os.remove(os.path.join(self.root, rel))
                     deleted += 1
+        man_dir = os.path.join(self.root, "manifests")
+        for fn in os.listdir(man_dir):
+            if fn.startswith("manifest-") and fn.endswith(".json"):
+                sid = fn[len("manifest-") : -len(".json")]
+                if sid not in live_ids:
+                    os.remove(os.path.join(man_dir, fn))
         return deleted
 
 
 # ---------------------------------------------------------------------------
-# Schema-version helpers
+# Schema-version helpers (schema_for_version lives in schemas.py and is
+# re-exported via the top-of-module import for compatibility)
 # ---------------------------------------------------------------------------
-
-
-def schema_for_version(registry: SchemaRegistry | None, version: int) -> T.StructType:
-    from ethereum_etl_spark.schemas import apply_change
-
-    if registry is None:
-        raise ValueError("registry required to resolve schema versions")
-    schema = T.StructType(list(registry.base_schema.fields))
-    for c in registry.changes:
-        if c.schema_version <= version:
-            schema = apply_change(schema, c.change)
-    return schema
 
 
 def _upgrade_df(

@@ -47,6 +47,7 @@ from ethereum_etl_spark.operators.snapshot_table import (
 from ethereum_etl_spark.schemas import (
     PAGES_SCHEMA_V1,
     SchemaRegistry,
+    conform_to_schema,
 )
 
 
@@ -92,6 +93,12 @@ class EngineConfig:
     #: after one epoch (deepest first) — keeps per-epoch maintenance
     #: latency bounded; remaining deep groups drain on later epochs
     compact_groups_per_epoch: int = 2
+    #: replay window for tombstone expiry during compaction: a tombstone
+    #: whose winning seq is ≤ high_watermark − this many seqs can no
+    #: longer lose to ANY late event the stream might redeliver, so
+    #: compaction drops it (deleted keys stop accumulating forever).
+    #: None = retain tombstones indefinitely (the conservative default).
+    tombstone_retention_seqs: int | None = None
     lww_method: str = "auto"  # auto | agg | salted | window
     n_salt: int = 16
     skew_threshold: float = 0.2  # key share above which 'auto' salts
@@ -367,17 +374,9 @@ class CDCEngine:
                     extract_text_udf(F.col("html"))
                 ),
             )
-            # rename-aware ingestion: WAL columns written under an old name
-            # follow the registry's rename chain into the current schema
-            for ch in self.registry.changes:
-                if ch.schema_version <= version and "rename_column" in ch.change:
-                    spec = ch.change["rename_column"]
-                    if spec["from"] in winners.columns and spec["to"] not in winners.columns:
-                        winners = winners.withColumnRenamed(spec["from"], spec["to"])
-            for c in data_cols:  # schema tolerance (reference .get() posture)
-                if c not in winners.columns:
-                    winners = winners.withColumn(c, F.lit(None).cast(dict(
-                        (f.name, f.dataType) for f in schema.fields)[c]))
+            # rename-aware ingestion + null-fill tolerance (the reference
+            # .get() posture) — shared helper, same for multi-table
+            winners = conform_to_schema(winners, self.registry, version)
             physical_cols = data_cols + [TOMBSTONE_COL]
             winners = winners.withColumn(
                 TOMBSTONE_COL, F.col("op") == "delete"
@@ -421,7 +420,7 @@ class CDCEngine:
                 )
             timer.mark("merge+stage write")
             self._maybe_crash("after_stage")
-            self._write_lineage(epoch_id, lineage, snapshot_id)
+            self._write_lineage(epoch_id, lineage, snapshot_id, n_events)
             timer.mark("lineage write")
             self._maybe_crash("after_lineage")
             self.table.commit(
@@ -453,17 +452,28 @@ class CDCEngine:
                 key=lambda g: -depth[g],
             )[: max(cfg.compact_groups_per_epoch, 1)]
             if deep:
-                self.table.compact_groups(set(deep))
+                self.table.compact_groups(
+                    set(deep),
+                    tombstone_retention_seqs=cfg.tombstone_retention_seqs,
+                )
                 timer.mark(f"compaction ({len(deep)} groups)")
         return EpochResult(epoch_id, lo, hi, n_events, n_keys, snapshot_id)
 
-    def _write_lineage(self, epoch_id: int, files: list, snapshot_id: str) -> None:
+    def _write_lineage(
+        self, epoch_id: int, files: list, snapshot_id: str, n_events: int
+    ) -> None:
         """Idempotent per-epoch lineage parquet (overwrite on re-run).
 
         One row per WAL file the epoch owns: (file, seq offsets, rows,
-        payload bytes, commit snapshot). Written driver-side with
-        pyarrow: pushing ~100 metadata rows through a Spark job costs ~1s
-        of scheduler latency per epoch for zero parallelism benefit.
+        payload bytes, commit snapshot). Files are attributed WHOLE to
+        the epoch covering their first seq — rows/bytes tile the WAL
+        exactly across epochs, but a boundary epoch's file rows can
+        exceed the events it processed, so ``epoch_n_events`` (the exact
+        processed count, same value as the ledger) rides on every row
+        for consumers that need per-epoch event counts. Written
+        driver-side with pyarrow: pushing ~100 metadata rows through a
+        Spark job costs ~1s of scheduler latency per epoch for zero
+        parallelism benefit.
         """
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -477,6 +487,7 @@ class CDCEngine:
                 "row_count": pa.array([f["rows"] for f in files], pa.int64()),
                 "bytes": pa.array([f["bytes"] for f in files], pa.int64()),
                 "snapshot_id": pa.array([snapshot_id] * len(files), pa.string()),
+                "epoch_n_events": pa.array([n_events] * len(files), pa.int64()),
             }
         )
         out = os.path.join(self.lineage_root, f"epoch={epoch_id}")

@@ -11,8 +11,9 @@ from a single GROUP ledger:
 1. every member table stages data files and writes its manifest —
    both invisible until referenced (the SnapshotTable write-ahead
    discipline);
-2. ONE atomic ``os.replace`` of the group ledger commits every table's
-   new snapshot at once (THE commit point — a two-phase catalog commit);
+2. ONE atomic fsync'd JSONL append to the group ledger commits every
+   table's new snapshot at once (THE commit point — a two-phase
+   catalog commit; same append-log format as the member ledgers);
 3. member tables' own ledgers are appended afterwards, idempotently,
    and *reconciled* from the group ledger on startup — so a crash
    between (2) and (3) self-heals and the group entry stays the single
@@ -21,25 +22,31 @@ from a single GROUP ledger:
 Tables driven here:
 
 - ``pages``    — the LWW-upsert page store (same semantics as
-                 plans/engine.py, merge-on-read grouped deltas);
+                 plans/engine.py, merge-on-read grouped deltas).
+                 Schema evolution is registry-driven per epoch, exactly
+                 like the single-table engine: pass a ``pages_registry``
+                 with change records and each epoch resolves
+                 ``version_at(end_seq)`` — the reference's per-entity
+                 extract layers evolve independently the same way
+                 (src/tasks/extract/block.py:29-34).
 - ``host_stats`` — an aggregated per-host dimension (additive counts +
                  max high-water columns), the analog of the reference's
                  enriched lookup dims (account/pool/token aggregates).
                  Additive deltas are exactly-once because epochs are:
                  each epoch's contribution is folded in exactly once.
-
-Known limitation: member tables run at schema version 1 — the
-registry-driven evolution lives in the single-table engine
-(plans/engine.py); fanning a schema change across N member tables
-would reuse the same per-epoch ``version_at`` resolution here.
+                 The merge is TOUCHED-BUCKET copy-on-write: the epoch
+                 delta (hosts seen this batch) picks the buckets it
+                 lands in, only those buckets' current rows are read and
+                 re-aggregated, and untouched bucket files carry over —
+                 per-epoch dim cost ∝ batch's host spread, not dim size
+                 (at 10^8 hosts a full-dim rescan per epoch would be the
+                 same trap the pages table avoids via MoR deltas).
 """
 
 from __future__ import annotations
 
-import json
 import os
 import time
-import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,11 +58,17 @@ from ethereum_etl_spark.operators.lww import lww_agg
 from ethereum_etl_spark.operators.snapshot_table import (
     BUCKET_COL,
     TOMBSTONE_COL,
+    AppendLog,
     Snapshot,
     SnapshotTable,
     bucket_expr,
 )
-from ethereum_etl_spark.schemas import PAGES_SCHEMA_V1, SchemaRegistry
+from ethereum_etl_spark.schemas import (
+    PAGES_SCHEMA_V1,
+    SchemaRegistry,
+    conform_to_schema,
+    schema_for_version,
+)
 
 #: per-host aggregate dimension (derived table #2)
 HOST_STATS_SCHEMA = T.StructType(
@@ -71,7 +84,12 @@ HOST_STATS_SCHEMA = T.StructType(
 )
 
 _HOST_COLS = [f.name for f in HOST_STATS_SCHEMA.fields]
-_PAGES_COLS = [f.name for f in PAGES_SCHEMA_V1.fields] + [TOMBSTONE_COL]
+
+#: host key of a url — anchored, NO trailing slash required, so
+#: path-less urls (https://example.com) key by their real host instead
+#: of silently aggregating under "" (and the key agrees with the
+#: streaming surface, streaming/windows.py).
+_HOST_RE = r"^https?://([^/]+)"
 
 
 class InjectedCrash(RuntimeError):
@@ -99,6 +117,8 @@ class MultiTableEngine:
         n_delta_groups: int = 8,
         compact_max_deltas: int = 8,
         compact_groups_per_epoch: int = 2,
+        pages_registry: SchemaRegistry | None = None,
+        host_n_buckets: int = 16,
         crash_points: set | None = None,
     ):
         self.spark = spark
@@ -109,10 +129,11 @@ class MultiTableEngine:
         self.compact_groups_per_epoch = compact_groups_per_epoch
         self.crash_points = crash_points or set()
         os.makedirs(root, exist_ok=True)
+        self.pages_registry = pages_registry or SchemaRegistry(base_schema=PAGES_SCHEMA_V1)
         self.pages = SnapshotTable(
             spark,
             os.path.join(root, "pages"),
-            registry=SchemaRegistry(base_schema=PAGES_SCHEMA_V1),
+            registry=self.pages_registry,
             key_col="url",
             n_buckets=n_buckets,
             n_delta_groups=n_delta_groups,
@@ -122,32 +143,29 @@ class MultiTableEngine:
             os.path.join(root, "host_stats"),
             registry=SchemaRegistry(base_schema=HOST_STATS_SCHEMA),
             key_col="host",
-            n_buckets=1,  # small aggregated dim: full rewrite per epoch
+            n_buckets=host_n_buckets,
         )
         self._tables = {"pages": self.pages, "host_stats": self.hosts}
         self.reconcile()
 
     # -- group ledger (THE commit point) --------------------------------
 
-    @property
-    def _group_path(self) -> str:
-        return os.path.join(self.root, "group_ledger.json")
+    def _group_log(self) -> AppendLog:
+        if getattr(self, "_group_log_obj", None) is None:
+            self._group_log_obj = AppendLog(
+                os.path.join(self.root, "group_ledger.jsonl"),
+                legacy_json_path=os.path.join(self.root, "group_ledger.json"),
+            )
+            entries = self._group_log_obj.entries()
+            self._group_hw = max((e["end_seq"] for e in entries), default=-1)
+        return self._group_log_obj
 
     def group_entries(self) -> list[dict]:
-        if not os.path.exists(self._group_path):
-            return []
-        with open(self._group_path) as f:
-            return json.load(f)["entries"]
+        return self._group_log().entries()
 
     def _append_group(self, entry: dict) -> None:
-        entries = self.group_entries()
-        entries.append(entry)
-        tmp = self._group_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"entries": entries}, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._group_path)  # atomic multi-table commit
+        self._group_log().append(entry)  # atomic multi-table commit
+        self._group_hw = max(self._group_hw, entry["end_seq"])
 
     def reconcile(self) -> int:
         """Re-derive member-table ledgers from the group ledger: any group
@@ -161,6 +179,7 @@ class MultiTableEngine:
             for name, t in self._tables.items()
         }
         for entry in self.group_entries():
+            versions = entry.get("schema_versions", {})
             for name, table in self._tables.items():
                 sid = entry["tables"][name]
                 if sid not in member_seen[name]:
@@ -171,7 +190,7 @@ class MultiTableEngine:
                             "end_seq": entry["end_seq"],
                             "n_events": entry["n_events"],
                             "snapshot_id": sid,
-                            "schema_version": 1,
+                            "schema_version": versions.get(name, 1),
                             "committed_at": entry.get("committed_at"),
                         }
                     )
@@ -180,7 +199,8 @@ class MultiTableEngine:
         return appended
 
     def high_watermark(self) -> int:
-        return max((e["end_seq"] for e in self.group_entries()), default=-1)
+        self._group_log()
+        return self._group_hw
 
     # -- epoch loop -----------------------------------------------------
 
@@ -215,46 +235,61 @@ class MultiTableEngine:
         slice_df = self._wal().filter((F.col("seq") > lo) & (F.col("seq") <= hi))
         n_events = slice_df.count()
 
-        # -- branch 1: pages (LWW winners → extract → MoR grouped delta) --
+        # -- branch 1: pages (LWW winners → extract → MoR grouped delta),
+        #    schema version resolved per epoch from the registry ---------
+        pages_version = self.pages_registry.version_at(hi)
+        pages_schema = schema_for_version(self.pages_registry, pages_version)
+        pages_cols = [f.name for f in pages_schema.fields] + [TOMBSTONE_COL]
         winners = lww_agg(slice_df, key_cols=("url",), version_cols=("warc_ts", "seq"))
+        winners = winners.withColumn(
+            "text",
+            F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
+                extract_text_udf(F.col("html"))
+            ),
+        )
         pages_rows = (
-            winners.withColumn(
-                "text",
-                F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
-                    extract_text_udf(F.col("html"))
-                ),
-            )
+            conform_to_schema(winners, self.pages_registry, pages_version)
             .withColumn(TOMBSTONE_COL, F.col("op") == "delete")
-            .select(*_PAGES_COLS)
+            .select(*pages_cols)
         )
         pages_sid = self.pages.new_snapshot_id()
-        pages_files = self.pages.stage_delta_grouped(pages_rows, pages_sid, 1, _PAGES_COLS)
+        pages_files = self.pages.stage_delta_grouped(
+            pages_rows, pages_sid, pages_version, pages_cols
+        )
         pages_cur = self.pages.current_snapshot()
         self.pages._write_manifest(
             Snapshot(
                 snapshot_id=pages_sid,
                 parent_id=pages_cur.snapshot_id if pages_cur else None,
-                schema_version=1,
+                schema_version=pages_version,
                 files=(list(pages_cur.files) if pages_cur else []) + pages_files,
                 summary={"new_files": len(pages_files)},
             )
         )
 
-        # -- branch 2: host_stats (additive per-host aggregate merge) -----
-        host = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
-        delta = slice_df.groupBy(host.alias("host")).agg(
-            F.count("*").alias("n_events"),
-            F.count(F.when(F.col("op") == "insert", 1)).alias("n_inserts"),
-            F.count(F.when(F.col("op") == "update", 1)).alias("n_updates"),
-            F.count(F.when(F.col("op") == "delete", 1)).alias("n_deletes"),
-            F.max("seq").alias("last_seq"),
-            F.max("warc_ts").alias("last_warc_ts"),
+        # -- branch 2: host_stats (additive per-host aggregate, TOUCHED-
+        #    bucket copy-on-write merge: cost ∝ batch's host spread) -----
+        host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+        delta = (
+            slice_df.groupBy(host.alias("host"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count(F.when(F.col("op") == "insert", 1)).alias("n_inserts"),
+                F.count(F.when(F.col("op") == "update", 1)).alias("n_updates"),
+                F.count(F.when(F.col("op") == "delete", 1)).alias("n_deletes"),
+                F.max("seq").alias("last_seq"),
+                F.max("warc_ts").alias("last_warc_ts"),
+            )
+            .withColumn(BUCKET_COL, bucket_expr("host", self.hosts.n_buckets))
+            .persist()
         )
-        cur = self.hosts.read()
+        touched = {r[0] for r in delta.select(BUCKET_COL).distinct().collect()}
+        cur, hosts_carried, _ = self.hosts.read_buckets(touched, 1)
+        merged = delta.select(*_HOST_COLS)
         if cur is not None:
-            combined = (
+            merged = (
                 cur.select(*_HOST_COLS)
-                .unionByName(delta.select(*_HOST_COLS))
+                .unionByName(merged)
                 .groupBy("host")
                 .agg(
                     F.sum("n_events").alias("n_events"),
@@ -265,18 +300,21 @@ class MultiTableEngine:
                     F.max("last_warc_ts").alias("last_warc_ts"),
                 )
             )
-        else:
-            combined = delta
-        combined = combined.withColumn(BUCKET_COL, bucket_expr("host", self.hosts.n_buckets))
+        merged = merged.withColumn(BUCKET_COL, bucket_expr("host", self.hosts.n_buckets))
         hosts_sid = self.hosts.new_snapshot_id()
-        hosts_files = self.hosts.stage(combined, hosts_sid, 1, _HOST_COLS)
+        hosts_files = self.hosts.stage(merged, hosts_sid, 1, _HOST_COLS)
+        delta.unpersist()
+        hosts_cur = self.hosts.current_snapshot()
         self.hosts._write_manifest(
             Snapshot(
                 snapshot_id=hosts_sid,
-                parent_id=(self.hosts.current_snapshot() or Snapshot("", None, 1)).snapshot_id or None,
+                parent_id=hosts_cur.snapshot_id if hosts_cur else None,
                 schema_version=1,
-                files=hosts_files,  # full rewrite: nothing carried
-                summary={"new_files": len(hosts_files)},
+                files=hosts_carried + hosts_files,
+                summary={
+                    "new_files": len(hosts_files),
+                    "carried_files": len(hosts_carried),
+                },
             )
         )
         self._crash("after_stage")
@@ -289,6 +327,7 @@ class MultiTableEngine:
                 "end_seq": hi,
                 "n_events": n_events,
                 "tables": snapshots,
+                "schema_versions": {"pages": pages_version, "host_stats": 1},
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
         )

@@ -61,6 +61,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("bytes", T.LongType(), False),
         T.StructField("snapshot_id", T.StringType(), True),
         T.StructField("committed_at", T.TimestampType(), True),
+        # exact events processed by the epoch (= ledger n_events): file
+        # rows/bytes tile the WAL whole-file, so a boundary epoch's file
+        # stats can exceed what it processed — this column is the truth
+        T.StructField("epoch_n_events", T.LongType(), True),
     ]
 )
 
@@ -153,6 +157,40 @@ class SchemaRegistry:
         for c in d["changes"]:
             reg.changes.append(SchemaChange(c["schema_version"], c["effective_seq"], c["change"]))
         return reg
+
+
+def schema_for_version(registry: "SchemaRegistry | None", version: int) -> T.StructType:
+    """StructType of a registry's schema at a given VERSION number
+    (``schema_at`` resolves by WAL seq; this resolves by version id)."""
+    if registry is None:
+        raise ValueError("registry required to resolve schema versions")
+    schema = T.StructType(list(registry.base_schema.fields))
+    for c in registry.changes:
+        if c.schema_version <= version:
+            schema = apply_change(schema, c.change)
+    return schema
+
+
+def conform_to_schema(df, registry: "SchemaRegistry", version: int):
+    """Conform a WAL-projected DataFrame to the schema at `version`:
+    follow the registry's rename chain for columns written under an old
+    name, then null-fill any still-missing columns — the reference's
+    tolerant ``.get()`` extract posture (src/tasks/extract/block.py:
+    29-34) formalized against the versioned registry. Pure column ops;
+    adds no shuffle or job."""
+    from pyspark.sql import functions as F
+
+    schema = schema_for_version(registry, version)
+    for ch in registry.changes:
+        if ch.schema_version <= version and "rename_column" in ch.change:
+            spec = ch.change["rename_column"]
+            if spec["from"] in df.columns and spec["to"] not in df.columns:
+                df = df.withColumnRenamed(spec["from"], spec["to"])
+    types = {f.name: f.dataType for f in schema.fields}
+    for c in schema.fieldNames():
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(types[c]))
+    return df
 
 
 def apply_change(schema: T.StructType, change: dict) -> T.StructType:

@@ -125,3 +125,88 @@ def test_multi_table_crash_after_group_commit_reconciles(spark, tmp_path):
     exp_pages = expected_final_state(wal_pdf).reset_index(drop=True)
     got_pages = _pages_pdf(eng2)[["url", "warc_ts", "seq", "html", "text"]]
     pd.testing.assert_frame_equal(got_pages, exp_pages, check_dtype=False)
+
+
+def test_multi_table_schema_evolution_pages_only(spark, tmp_path):
+    """Registry-driven evolution through the multi-table engine: `lang`
+    is added to pages mid-stream while host_stats keeps its own schema —
+    per-entity schemas evolve independently (reference extract layers,
+    src/tasks/extract/block.py:29-34)."""
+    from ethereum_etl_spark.schemas import PAGES_SCHEMA_V1, SchemaChange, SchemaRegistry
+
+    n, eff = 3_000, 1_500
+    wal = str(tmp_path / "wal_evo")
+    write_wal(
+        gen_wal(spark, WalConfig(n_events=n, n_urls=400, lang_effective_seq=eff)),
+        wal, n_files=4,
+    )
+    reg = SchemaRegistry(base_schema=PAGES_SCHEMA_V1)
+    reg.add_change(SchemaChange(
+        schema_version=2, effective_seq=eff,
+        change={"add_column": {"name": "lang", "type": "string"}},
+    ))
+    eng = MultiTableEngine(
+        spark, wal, str(tmp_path / "multi"), epoch_size=1_000, pages_registry=reg
+    )
+    eng.run()
+
+    # group ledger records the per-table version step
+    versions = [e["schema_versions"] for e in eng.group_entries()]
+    assert [v["pages"] for v in versions] == [1, 2, 2]
+    assert all(v["host_stats"] == 1 for v in versions)
+
+    got = eng.read_pages().toPandas().sort_values("url").reset_index(drop=True)
+    assert "lang" in got.columns
+    assert got["lang"].isna().any() and got["lang"].notna().any()
+    got["html"] = got["html"].map(lambda b: bytes(b) if b is not None else None)
+    wal_pdf = spark.read.parquet(wal).toPandas()
+    exp = expected_final_state(wal_pdf, with_lang=True).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["url", "warc_ts", "seq", "html", "text", "lang"]], exp, check_dtype=False
+    )
+    # host_stats untouched by the pages evolution
+    pd.testing.assert_frame_equal(_hosts_pdf(eng), _expected_hosts(wal_pdf), check_dtype=False)
+
+    # crash matrix still holds under evolution: resume skips verbatim
+    eng2 = MultiTableEngine(
+        spark, wal, str(tmp_path / "multi"), epoch_size=1_000, pages_registry=reg
+    )
+    assert all(r.skipped for r in eng2.run())
+
+
+def test_host_stats_touched_bucket_carryover(spark, tmp_path):
+    """The dim merge is touched-bucket CoW: an epoch whose events hit one
+    host reads/writes only that host's bucket; every other bucket's file
+    carries over untouched (per-epoch dim cost ∝ batch, not dim size)."""
+    from pyspark.sql import types as T
+
+    from ethereum_etl_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    wal = str(tmp_path / "wal_tb")
+    write_wal(gen_wal(spark, WalConfig(n_events=2_000, n_urls=400)), wal, n_files=2)
+    root = str(tmp_path / "multi")
+    eng = MultiTableEngine(spark, wal, root, epoch_size=2_000)
+    eng.run()
+    files_before = {f.path for f in eng.hosts.current_snapshot().files}
+    assert len(files_before) > 1  # dim spread over several buckets
+
+    # epoch 2: a single-host batch appended to the WAL
+    rows = [
+        (2_000 + i, "update", "https://site-7.example.com/page/7",
+         pd.Timestamp("2024-01-02", tz="UTC").to_pydatetime(), b"<html>x</html>", None)
+        for i in range(5)
+    ]
+    spark.createDataFrame(rows, schema=CHANGE_EVENT_SCHEMA).write.mode("append").parquet(wal)
+    eng2 = MultiTableEngine(spark, wal, root, epoch_size=2_000)
+    eng2.run()
+
+    snap = eng2.hosts.current_snapshot()
+    carried = {f.path for f in snap.files} & files_before
+    new = {f.path for f in snap.files} - files_before
+    # most bucket files carried over; only the touched bucket was rewritten
+    assert len(carried) >= len(files_before) - 1 and len(new) >= 1
+    assert snap.summary["carried_files"] == len(carried)
+
+    # and the merged dim is still exact
+    wal_pdf = spark.read.parquet(wal).toPandas()
+    pd.testing.assert_frame_equal(_hosts_pdf(eng2), _expected_hosts(wal_pdf), check_dtype=False)

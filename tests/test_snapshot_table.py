@@ -238,3 +238,95 @@ def test_reader_snapshot_isolation_and_time_travel(spark, tmp_path, tmp_table):
         .reset_index(drop=True)
     )
     assert tt.equals(after)  # VERSION AS OF reproduces the mid state
+
+
+def test_append_log_torn_tail_repair(tmp_path):
+    """The JSONL ledger's crash contract: a torn (unterminated or
+    undecodable) tail line is invisible on load and truncated by the
+    next append — commits are all-or-nothing at line granularity."""
+    from ethereum_etl_spark.operators.snapshot_table import AppendLog
+
+    p = str(tmp_path / "ledger.jsonl")
+    log = AppendLog(p)
+    for i in range(5):
+        log.append({"epoch_id": i, "end_seq": i * 10})
+    assert [e["epoch_id"] for e in AppendLog(p).entries()] == list(range(5))
+
+    # simulate a crash mid-write: partial last line, no newline
+    with open(p, "ab") as f:
+        f.write(b'{"epoch_id": 5, "end_se')
+    log2 = AppendLog(p)
+    assert [e["epoch_id"] for e in log2.entries()] == list(range(5))
+    log2.append({"epoch_id": 6, "end_seq": 60})
+    # torn bytes gone; clean history with the new entry appended
+    reread = AppendLog(p).entries()
+    assert [e["epoch_id"] for e in reread] == [0, 1, 2, 3, 4, 6]
+
+    # legacy whole-file ledger.json is honored as a read-only prefix
+    import json
+
+    legacy = str(tmp_path / "old" )
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "ledger.json"), "w") as f:
+        json.dump({"entries": [{"epoch_id": 100, "end_seq": 1}]}, f)
+    mixed = AppendLog(os.path.join(legacy, "ledger.jsonl"),
+                      legacy_json_path=os.path.join(legacy, "ledger.json"))
+    mixed.append({"epoch_id": 101, "end_seq": 2})
+    assert [e["epoch_id"] for e in mixed.entries()] == [100, 101]
+    assert [e["epoch_id"] for e in AppendLog(
+        os.path.join(legacy, "ledger.jsonl"),
+        legacy_json_path=os.path.join(legacy, "ledger.json"),
+    ).entries()] == [100, 101]
+
+
+def test_tombstone_retention_window(spark, tmp_path, tmp_table):
+    """Compaction drops tombstones past the replay window and keeps those
+    inside it; a late out-of-order event for a recently-deleted key still
+    loses to the retained tombstone."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ethereum_etl_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    def ts(s):
+        return pd.Timestamp("2024-01-01", tz="UTC").to_pydatetime() + pd.Timedelta(seconds=s)
+
+    rows = [(1, "insert", "https://a.example.com/x", ts(100), b"<html>a</html>", None),
+            (2, "delete", "https://a.example.com/x", ts(200), None, None)]
+    rows += [
+        (3 + i, "insert", f"https://b.example.com/{i}", ts(300 + i), b"<html>b</html>", None)
+        for i in range(60)
+    ]
+    wal = str(tmp_path / "wal_ts")
+    spark.createDataFrame(rows, schema=CHANGE_EVENT_SCHEMA).write.parquet(wal)
+
+    # retention window wider than the tombstone's age: KEPT, and a late
+    # event (older warc_ts than the delete) still loses on read
+    t1 = str(tmp_path / "t_keep")
+    eng = CDCEngine(spark, wal, t1, config=EngineConfig(
+        epoch_size=100, n_buckets=4, table_mode="mor"))
+    eng.run()
+    eng.table.compact_groups(tombstone_retention_seqs=1_000)
+    with_tomb = eng.read_table(include_tombstones=True)
+    assert with_tomb.filter(F.col("url") == "https://a.example.com/x").count() == 1
+    late = [(63, "update", "https://a.example.com/x", ts(150), b"<html>late</html>", None)]
+    spark.createDataFrame(late, schema=CHANGE_EVENT_SCHEMA).write.mode("append").parquet(wal)
+    eng2 = CDCEngine(spark, wal, t1, config=EngineConfig(
+        epoch_size=100, n_buckets=4, table_mode="mor"))
+    eng2.run()
+    assert eng2.read_table().filter(F.col("url") == "https://a.example.com/x").count() == 0
+
+    # retention narrower than the tombstone's age: DROPPED at compaction,
+    # live state unchanged
+    t2 = str(tmp_path / "t_drop")
+    wal2 = str(tmp_path / "wal_ts2")
+    spark.createDataFrame(rows, schema=CHANGE_EVENT_SCHEMA).write.parquet(wal2)
+    eng3 = CDCEngine(spark, wal2, t2, config=EngineConfig(
+        epoch_size=100, n_buckets=4, table_mode="mor"))
+    eng3.run()
+    live_before = eng3.read_table().count()
+    eng3.table.compact_groups(tombstone_retention_seqs=10)  # cutoff = 62-10 = 52 > 2
+    assert eng3.read_table(include_tombstones=True).filter(
+        F.col("url") == "https://a.example.com/x"
+    ).count() == 0
+    assert eng3.read_table().count() == live_before
