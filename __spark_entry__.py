@@ -13,9 +13,12 @@ compare is stable across engines.
 
 Non-SQL-expressible entries (hash-seeded LSH/MinHash/SimHash candidate
 generation, ANN with approximate recall, the snapshot-table CDC replay
-itself, multimodal stub pipeline) have no oracle — the driver records a
-rows-only check for those, and tests/ assert their semantics against
-in-repo oracles (pandas replay reducer, brute-force pairs).
+itself) have no oracle — the driver records a rows-only check for
+those, and tests/ assert their semantics against in-repo oracles
+(pandas replay reducer, brute-force pairs). The verified-dedup and
+multimodal-decode surfaces ARE oracle-checked: exact-Jaccard survivors
+are recomputed quadratically in SQL, and the PNG decode's (width,
+height) is recomputed from the generator's arithmetic.
 """
 
 from __future__ import annotations
@@ -531,11 +534,21 @@ def q_explode_word_counts(spark, sf_dir):
 
 
 def q_dedup_exact_docs(spark, sf_dir):
+    """Exact dedup with a NON-vacuous oracle: the fixture corpus has no
+    exact duplicates, so the input is documents ∪ an id-shifted copy of
+    every 7th doc (same text) — the oracle row has real dup groups and
+    can actually fail. Oracle groups by text itself; hash-group ==
+    text-group sans collisions."""
     from ethereum_etl_spark.operators.dedupe import exact_dup_groups
 
-    d = _t(spark, sf_dir, "documents")
-    # oracle groups by text itself; hash-group == text-group sans collisions
-    return exact_dup_groups(d).select("canonical_id", "group_size")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100_000)
+    )
+    return exact_dup_groups(d.unionByName(dups)).select(
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
 
 
 def q_doc_fingerprints(spark, sf_dir):
@@ -623,6 +636,21 @@ def q_minhash_dedup(spark, sf_dir):
     return minhash_dedup(d).select("doc_id")
 
 
+def q_minhash_dedup_verified(spark, sf_dir):
+    """MinHash-LSH dedup with exact-Jaccard verification, ORACLE-CHECKED:
+    survivors are exactly the docs with no smaller-id partner at shingle
+    Jaccard ≥ 0.9 — a quadratic DuckDB formulation recomputes that set
+    from the raw text, so both the LSH candidate recall (at this
+    threshold the 8×4 banding s-curve is ≈1) and the verifier's exact
+    Jaccard are checked end-to-end. The production bucket-collision
+    variant (`minhash_dedup`) stays rows-only: its cutoff IS the
+    s-curve, not a Jaccard threshold."""
+    from ethereum_etl_spark.operators.dedupe import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup(d, threshold=0.9, verify=True).select("doc_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     from ethereum_etl_spark.operators.dedupe import simhash_pairs
 
@@ -648,24 +676,35 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_multimodal(spark, sf_dir):
-    """Multimodal plumbing: synthetic media table → mapInPandas image
-    decode/feature stage (decode itself is a deterministic stub)."""
+    """Multimodal decode, ORACLE-CHECKED: media rows → mapInPandas PNG
+    decode (real pure-stdlib IHDR parse + CRC check). The generator's
+    dims are plain arithmetic over media_id, so the decoded (width,
+    height) are recomputable in ANSI SQL — the oracle proves the real
+    parser round-trips the real encoder on every image row."""
     from ethereum_etl_spark.functions.multimodal import gen_media, image_features
 
     media = gen_media(spark, n=200)
     return image_features(media).select(
-        "media_id", "byte_len", "sha256", "width", "height"
+        "media_id",
+        "mime",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
     )
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Video frame-sampling plumbing (mapInPandas row-expanding stage;
-    ffmpeg decode is a deterministic stub, the Spark side is real)."""
+    """Video frame-sampling plumbing, ORACLE-CHECKED on the sampling
+    grid (media_id, frame_idx, frame_ts_ms): the row-expanding
+    mapInPandas stage must emit exactly ceil(duration/step) frames on
+    the step grid per video. Frame BYTES stay stub (no video codec in
+    this container) and are excluded from the compare."""
     from ethereum_etl_spark.functions.multimodal import gen_media, sample_frames
 
     media = gen_media(spark, n=200)
     return sample_frames(media, every_ms=2000).select(
-        "media_id", "frame_idx", "frame_ts_ms"
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_ts_ms",
     )
 
 
@@ -894,14 +933,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "jaccard_unigram_pairs": q_jaccard_unigram_pairs,
         "embedding_topk": q_embedding_topk,
+        "minhash_dedup_verified": q_minhash_dedup_verified,
+        "multimodal": q_multimodal,
+        "multimodal_frames": q_multimodal_frames,
         # rows-only (non-SQL-expressible)
         "cdc_replay": q_cdc_replay,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "multimodal": q_multimodal,
-        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1267,8 +1307,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # --- training-data operators -------------------------------------
         "dedup_exact_docs": """
-            SELECT min(doc_id) AS canonical_id, count(*) AS group_size
-            FROM documents GROUP BY text HAVING count(*) > 1
+            WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 100000, text FROM documents
+                       WHERE doc_id % 7 = 0)
+            SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                   CAST(count(*) AS BIGINT) AS group_size
+            FROM u GROUP BY text HAVING count(*) > 1
         """,
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "token_stats": r"""
@@ -1314,6 +1359,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM i JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
             WHERE inter / (sa.sz + sb.sz - inter) >= 0.9
+        """,
+        "minhash_dedup_verified": r"""
+            WITH d AS (SELECT doc_id, list_filter(
+                         string_split_regex(lower(trim(text)), '\W+'), x -> x <> '') AS w
+                       FROM documents),
+                 sh0 AS (SELECT doc_id,
+                         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                              ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+                         END AS shingles FROM d),
+                 w AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh0),
+                 s AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+                 i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                       FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+                 losers AS (SELECT DISTINCT id_b
+                            FROM i JOIN s sa ON id_a = sa.doc_id
+                                   JOIN s sb ON id_b = sb.doc_id
+                            WHERE inter / (sa.sz + sb.sz - inter) >= 0.9)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "multimodal": """
+            SELECT range AS media_id,
+                   'image/png' AS mime,
+                   CAST(1 + range % 64 AS BIGINT) AS width,
+                   CAST(1 + range % 48 AS BIGINT) AS height
+            FROM range(200) WHERE range % 3 = 0
+        """,
+        "multimodal_frames": """
+            WITH v AS (SELECT range AS media_id,
+                              1000 + (range * 37) % 10000 AS dur
+                       FROM range(200) WHERE range % 3 = 2)
+            SELECT media_id,
+                   CAST(ts // 2000 AS BIGINT) AS frame_idx,
+                   CAST(ts AS BIGINT) AS frame_ts_ms
+            FROM v, unnest(generate_series(0, CAST(dur - 1 AS BIGINT), 2000)) AS t(ts)
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id,

@@ -45,6 +45,11 @@ CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "6000000"))
 CDC_URLS = int(os.environ.get("BENCH_CDC_URLS", "1200000"))
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "5"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))  # N vs 4N
+#: parquet codec for WAL + table writes (snappy | zstd). zstd halves
+#: bytes at near-parity wall on this host (BASELINE.md codec A/B) and
+#: is the production default at 100 TB.
+CODEC = os.environ.get("BENCH_CODEC", "snappy")
+WAL_NAME = os.environ.get("BENCH_WAL_NAME", "wal")
 
 HEADLINE = [
     "lww_agg",
@@ -79,7 +84,7 @@ def make_spark(cores: int, app: str, local_dir: str | None = None, worker_reuse:
         .config("spark.default.parallelism", str(cores * 6))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.parquet.compression.codec", CODEC)
         .config("spark.python.worker.reuse", "true" if worker_reuse else "false")
         .config("spark.python.daemon.module", "ethereum_etl_spark.daemon_preload")
         .config("spark.ui.enabled", "false")
@@ -187,20 +192,23 @@ def apply_once(cores: int, scratch: str, tag: str) -> float:
     from ethereum_etl_spark.plans.engine import CDCEngine, EngineConfig
     from pyspark.sql import SparkSession  # noqa: F401
 
-    wal = os.path.join(scratch, "wal")
+    wal = os.path.join(scratch, WAL_NAME)
     local_dir = os.path.join(scratch, "spark_local")
     spark = make_spark(cores, f"bench-cdc-{tag}", local_dir, worker_reuse=True)
     warm_tbl = os.path.join(scratch, f"warm_{tag}")
     shutil.rmtree(warm_tbl, ignore_errors=True)
+    persist_light = os.environ.get("BENCH_PERSIST_LIGHT", "1") == "1"
     CDCEngine(
         spark, wal, warm_tbl,
-        config=EngineConfig(epoch_size=100_000, n_buckets=64, table_mode="mor"),
+        config=EngineConfig(epoch_size=100_000, n_buckets=64, table_mode="mor",
+                            persist_light=persist_light),
     ).run(up_to_seq=min(100_000, CDC_EVENTS))
     table = os.path.join(scratch, f"table_{tag}")
     shutil.rmtree(table, ignore_errors=True)
     engine = CDCEngine(
         spark, wal, table,
-        config=EngineConfig(epoch_size=CDC_EVENTS, n_buckets=64, table_mode="mor"),
+        config=EngineConfig(epoch_size=CDC_EVENTS, n_buckets=64, table_mode="mor",
+                            persist_light=persist_light),
     )
     t0 = time.time()
     engine.run()
@@ -307,10 +315,14 @@ def bench_cdc(scratch: str) -> dict:
     out["per_round_efficiency"] = per_round
     out["scaling_efficiency_best_window"] = max(per_round)
 
-    # secondary: full-machine throughput (single run, informational)
-    t32 = apply_run(CPUS, f"{CPUS}_x")
-    out[f"apply_sec_n{CPUS}"] = round(t32, 2)
-    out[f"events_per_sec_n{CPUS}"] = round(CDC_EVENTS / t32, 1)
+    # secondary: full-machine throughput (informational). The full-width
+    # regime on this host is bimodal (hypervisor-throttled runs up to
+    # 3.5x apart — BASELINE.md), so the leg uses the SAME fixed-rounds
+    # best-of protocol as the N/4N pair instead of a single draw.
+    t32s = [round(apply_run(CPUS, f"{CPUS}_x{r}"), 2) for r in range(3)]
+    out[f"raw_apply_sec_n{CPUS}"] = t32s
+    out[f"apply_sec_n{CPUS}"] = min(t32s)
+    out[f"events_per_sec_n{CPUS}"] = round(CDC_EVENTS / min(t32s), 1)
     return out
 
 

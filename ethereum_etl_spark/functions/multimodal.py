@@ -219,17 +219,25 @@ def resize_images(df: DataFrame, max_px: int = 256, strict: bool = False) -> Dat
 def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for testing the plumbing.
 
-    Non-image metadata comes from JVM-side exprs (walgen pattern); image
-    rows then get REAL PNG payloads (``encode_png``) via a mapInPandas
-    pass, with ``meta.width/height`` set to the true encoded dimensions —
-    so decode tests can assert the real parser against ground truth.
+    Every attribute is plain modular arithmetic over ``media_id`` —
+    kind = media_id % 3 (0 image / 1 audio / 2 video), duration =
+    1000 + (media_id*37) % 10000, image dims = 1 + media_id % 64/48 —
+    so the decode/frame-sample outputs are expressible as ANSI SQL and
+    the driver can oracle-check them (an earlier xxhash64-seeded variant
+    was deterministic but not reproducible outside Spark). Image rows
+    get REAL PNG payloads (``encode_png``) via a mapInPandas pass, with
+    ``meta.width/height`` set to the true encoded dimensions — so decode
+    tests can assert the real parser against ground truth.
     """
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    r = lambda salt, n_: F.pmod(F.xxhash64(F.col("media_id"), F.lit(seed), F.lit(salt)), F.lit(n_))
     df = spark.range(n).withColumnRenamed("id", "media_id")
-    kind = F.element_at(kinds, (r("kind", 3) + 1).cast("int"))
+    mid = F.col("media_id")
+    kind = F.element_at(kinds, (mid % 3 + 1).cast("int"))
     payload = F.encode(
-        F.concat(F.lit("MEDIA:"), F.col("media_id").cast("string"), F.lit(":"), F.repeat(F.lit("x"), (r("len", 200) + 32).cast("int"))),
+        F.concat(
+            F.lit("MEDIA:"), mid.cast("string"), F.lit(":"),
+            F.repeat(F.lit("x"), ((mid * 31 + 7) % 200 + 32).cast("int")),
+        ),
         "UTF-8",
     )
     base = df.select(
@@ -240,9 +248,9 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         .otherwise(F.concat(F.lit("application/"), kind))
         .alias("mime"),
         F.struct(
-            (r("w", 1920) + 1).cast("int").alias("width"),
-            (r("h", 1080) + 1).cast("int").alias("height"),
-            (r("d", 10_000) + 1000).cast("long").alias("duration_ms"),
+            ((mid * 13) % 1920 + 1).cast("int").alias("width"),
+            ((mid * 11) % 1080 + 1).cast("int").alias("height"),
+            ((mid * 37) % 10_000 + 1000).cast("long").alias("duration_ms"),
             F.lit(44100).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
