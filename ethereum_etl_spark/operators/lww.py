@@ -114,6 +114,61 @@ def lww_salted(
     return df.join(winners, on=[*key_cols, *version_cols], how="inner")
 
 
+def lww_winner_seqs(
+    df: DataFrame,
+    key_cols: Sequence[str] = DEFAULT_KEYS,
+    version_cols: Sequence[str] = DEFAULT_VERSION,
+    method: str = "agg",
+    n_salt: int = 16,
+    fingerprint: bool = True,
+) -> DataFrame:
+    """Winning ``seq`` per key, WITHOUT the payload join-back.
+
+    The MoR epoch write needs only the set of winning WAL offsets (the
+    payload is fetched by a later ``seq`` equi-join), so the general
+    ``lww_agg``'s join-back of winners against the event stream — a
+    second full shuffle of the epoch — is pure waste there. This plan
+    is ONE partial-aggregated shuffle:
+
+        groupBy(key) → max(struct(version..., seq)) → project seq
+
+    and the shuffled tuple is further shrunk by ``fingerprint``:
+    grouping on a 128-bit key digest (two independently-seeded
+    xxhash64s) instead of the key itself drops the url string (~60 B
+    avg on web data) from every shuffle record — the winner decision
+    needs key *identity*, not key *bytes*. Collision risk: two distinct
+    urls sharing 128 bits within one epoch would merge their LWW
+    lineages; at 10^10 keys that probability is ~1.5e-19 — the standard
+    content-addressing posture (git/Iceberg treat digest equality the
+    same way).
+
+    Requires the last version column to be ``seq`` (or any column that
+    is unique per event) so the struct max is a total order and the
+    projected seq is exactly the join-back's winner.
+    """
+    vs = F.struct(*[F.col(c).alias(c) for c in version_cols])
+    if fingerprint:
+        keys = [
+            F.xxhash64(*key_cols).alias("__k0"),
+            F.xxhash64(F.lit(1), *key_cols).alias("__k1"),
+        ]
+    else:
+        keys = [F.col(c) for c in key_cols]
+    seq_col = version_cols[-1]
+    base = df.select(*keys, vs.alias("__v"))
+    if method == "salted":
+        salted = base.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(f"__v.{seq_col}")), F.lit(n_salt))
+        )
+        names = ["__k0", "__k1"] if fingerprint else list(key_cols)
+        phase1 = salted.groupBy(*names, "__salt").agg(F.max("__v").alias("__v"))
+        winners = phase1.groupBy(*names).agg(F.max("__v").alias("__v"))
+    else:
+        names = ["__k0", "__k1"] if fingerprint else list(key_cols)
+        winners = base.groupBy(*names).agg(F.max("__v").alias("__v"))
+    return winners.select(F.col(f"__v.{seq_col}").alias(seq_col))
+
+
 def lww_collapse(
     df: DataFrame,
     key_cols: Sequence[str] = DEFAULT_KEYS,

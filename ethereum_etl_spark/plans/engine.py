@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ethereum_etl_spark.functions.extract import extract_text_udf
-from ethereum_etl_spark.operators.lww import lww_agg, lww_salted
+from ethereum_etl_spark.operators.lww import lww_agg, lww_salted, lww_winner_seqs
 from ethereum_etl_spark.operators.merge import merge_union_lww
 from ethereum_etl_spark.operators.snapshot_table import (
     BUCKET_COL,
@@ -105,6 +105,11 @@ class EngineConfig:
     skew_sample_frac: float = 0.05
     skew_min_events: int = 10_000  # don't bother probing tiny epochs
     skew_reprobe_every: int = 8  # epochs between fresh skew probes
+    #: cache the payload-free (seq,url,warc_ts,op) projection across the
+    #: 2-3 jobs that read it. True trades memory traffic (materialize ~
+    #: 100B/event once) for repeated pruned parquet scans; at very wide
+    #: epochs the re-scan can be cheaper than the cache round-trip.
+    persist_light: bool = True
     broadcast_merge_max_rows: int = 2_000_000  # winners = (key, version) only
     crash_points: set = field(default_factory=set)  # {"after_stage", "after_lineage"}
 
@@ -268,7 +273,9 @@ class CDCEngine:
         #    parquet FOOTERS — metadata, not a payload scan; previously
         #    length(html) here forced a second full-payload decompress
         #    per epoch.
-        light = slice_df.select("seq", "url", "warc_ts", "op").persist()
+        light = slice_df.select("seq", "url", "warc_ts", "op")
+        if cfg.persist_light:
+            light = light.persist()
         total = light.agg(
             F.count("*").alias("row_count"),
             F.approx_count_distinct("url").alias("n_keys_est"),
@@ -323,13 +330,29 @@ class CDCEngine:
                     method = "salted" if self._skew_memo else "agg"
             timer.mark("skew probe")
 
-            # -- winner keys (url, warc_ts, seq, op) ----------------------
+            # -- winner keys ----------------------------------------------
             # broadcast_winners=False everywhere: winner sets are ~the
             # epoch's key count (100k-1M rows) — forcing them into driver
             # broadcasts degrades the session; AQE broadcasts from runtime
             # size stats when a side is genuinely small.
             keyed = light
-            if method == "salted":
+            if cfg.table_mode == "mor":
+                # MoR needs ONLY the winning seqs (payload comes back via
+                # the seq equi-join below), so the LWW plan skips the
+                # general operators' winner→event join-back entirely and
+                # shuffles 128-bit key fingerprints instead of url bytes
+                # (operators/lww.py lww_winner_seqs) — one partial-agg
+                # shuffle of ~32 B tuples is the whole dedup. No affected-
+                # bucket set and no exact key count up front either (delta
+                # file footers give n_keys for free after the write).
+                winner_keys = lww_winner_seqs(
+                    keyed,
+                    method=method if method in ("salted",) else "agg",
+                    n_salt=cfg.n_salt,
+                )
+                affected = set()
+                n_keys = n_keys_est
+            elif method == "salted":
                 winner_keys = lww_salted(keyed, n_salt=cfg.n_salt, broadcast_winners=False)
             elif method == "window":
                 from ethereum_etl_spark.operators.lww import lww_window
@@ -337,14 +360,7 @@ class CDCEngine:
                 winner_keys = lww_window(keyed)
             else:
                 winner_keys = lww_agg(keyed, broadcast_winners=False)
-            if cfg.table_mode == "mor":
-                # MoR needs no affected-bucket set and no exact key count
-                # up front (delta file footers give n_keys for free after
-                # the write), so the winner plan feeds the payload join
-                # directly off the cached projection — zero extra jobs.
-                affected = set()
-                n_keys = n_keys_est
-            else:
+            if cfg.table_mode != "mor":
                 winner_keys = winner_keys.withColumn(
                     BUCKET_COL, bucket_expr("url", self.table.n_buckets)
                 ).persist()

@@ -47,3 +47,24 @@ def test_winners_unique_per_key(spark):
     for fn in (lww_window, lww_agg, lww_salted):
         w = fn(wal)
         assert w.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_winner_seqs_matches_join_back(spark):
+    """The MoR fast path (seq-only, fingerprint-keyed, no join-back)
+    must select exactly the seqs that the general lww_agg winners
+    carry — for both the agg and the salted physical plans."""
+    from ethereum_etl_spark.operators.lww import lww_winner_seqs
+
+    wal = gen_wal(spark, WalConfig(n_events=8_000, n_urls=500, ooo_frac=0.4))
+    expected = sorted(r["seq"] for r in lww_agg(wal).select("seq").collect())
+    for method in ("agg", "salted"):
+        got = sorted(
+            r["seq"]
+            for r in lww_winner_seqs(wal, method=method, n_salt=8).collect()
+        )
+        assert got == expected, method
+    # fingerprint=False (group on raw key) is the same set too
+    got_raw = sorted(
+        r["seq"] for r in lww_winner_seqs(wal, fingerprint=False).collect()
+    )
+    assert got_raw == expected
