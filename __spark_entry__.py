@@ -598,6 +598,25 @@ def q_jaccard_unigram_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Dup-cluster closure, ORACLE-CHECKED: near-dup pairs (unigram
+    Jaccard ≥ 0.5) expand to full connected components via the
+    large-star/small-star MapReduce-CC algorithm (Kiveris et al.
+    SoCC'14) — every doc gets (cluster_id = component min, is_canonical)
+    so a keep-one-per-cluster dedup policy is a filter. The oracle
+    recomputes components by recursive transitive closure in DuckDB."""
+    from ethereum_etl_spark.operators.components import dup_clusters
+    from ethereum_etl_spark.operators.dedupe import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = ngram_jaccard_pairs(d, shingle_len=1, threshold=0.5)
+    return dup_clusters(d, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_canonical",
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     from ethereum_etl_spark.operators.similarity import brute_force_topk
 
@@ -934,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_unigram_pairs": q_jaccard_unigram_pairs,
         "embedding_topk": q_embedding_topk,
         "minhash_dedup_verified": q_minhash_dedup_verified,
+        "dup_clusters": q_dup_clusters,
         "multimodal": q_multimodal,
         "multimodal_frames": q_multimodal_frames,
         # rows-only (non-SQL-expressible)
@@ -1359,6 +1379,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM i JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
             WHERE inter / (sa.sz + sb.sz - inter) >= 0.9
+        """,
+        "dup_clusters": r"""
+            WITH RECURSIVE
+              w AS (SELECT DISTINCT doc_id, word FROM (
+                      SELECT doc_id, unnest(list_filter(
+                          string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS word
+                      FROM documents WHERE doc_id < 120)),
+              s AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+              i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                    FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+              e AS (SELECT id_a AS u, id_b AS v
+                    FROM i JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+                    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+              eb AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+              reach(id, r) AS (
+                  SELECT doc_id, doc_id FROM documents WHERE doc_id < 120
+                  UNION
+                  SELECT reach.id, eb.v FROM reach JOIN eb ON reach.r = eb.u
+              )
+            SELECT CAST(id AS BIGINT) AS doc_id,
+                   CAST(min(r) AS BIGINT) AS cluster_id,
+                   min(r) = id AS is_canonical
+            FROM reach GROUP BY id
         """,
         "minhash_dedup_verified": r"""
             WITH d AS (SELECT doc_id, list_filter(

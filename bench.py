@@ -91,6 +91,12 @@ def make_spark(cores: int, app: str, local_dir: str | None = None, worker_reuse:
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
+    # ad-hoc conf overrides for A/B experiments, e.g.
+    # BENCH_EXTRA_CONF="spark.sql.parquet.columnarReaderBatchSize=16384;k=v"
+    for kv in os.environ.get("BENCH_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            b = b.config(k.strip(), v.strip())
     return b.getOrCreate()
 
 
