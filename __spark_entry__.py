@@ -712,11 +712,13 @@ def q_multimodal(spark, sf_dir):
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Video frame-sampling plumbing, ORACLE-CHECKED on the sampling
-    grid (media_id, frame_idx, frame_ts_ms): the row-expanding
-    mapInPandas stage must emit exactly ceil(duration/step) frames on
-    the step grid per video. Frame BYTES stay stub (no video codec in
-    this container) and are excluded from the compare."""
+    """Video frame-sampling, ORACLE-CHECKED on the sampling grid
+    (media_id, frame_idx, frame_ts_ms): the row-expanding mapInPandas
+    stage demuxes the REAL AVI container (RIFF walk: avih header for
+    the frame interval, movi LIST for frame bytes) and must emit exactly
+    ceil(duration/step) grid rows per video, duration taken from the
+    container itself (n_frames × 40 ms). Frame PIXEL bytes are opaque
+    container chunks and are excluded from the compare."""
     from ethereum_etl_spark.functions.multimodal import gen_media, sample_frames
 
     media = gen_media(spark, n=200)
@@ -724,6 +726,28 @@ def q_multimodal_frames(spark, sf_dir):
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
         "frame_ts_ms",
+    )
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """Audio decode, ORACLE-CHECKED: media rows → mapInPandas WAV decode
+    (real pure-stdlib RIFF chunk walk + 16-bit PCM parse) with signal
+    stats computed from the actual samples. The generator's PCM content
+    is plain arithmetic over (sample index, media_id), so the decoded
+    header fields AND the exact integer PCM energy Σs² are recomputable
+    in ANSI SQL — the oracle proves the real parser round-trips the real
+    encoder down to every sample value."""
+    from ethereum_etl_spark.functions.multimodal import audio_features, gen_media
+
+    media = gen_media(spark, n=200)
+    return audio_features(media).select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        "n_frames",
+        "duration_ms",
+        "byte_len",
+        "energy",
     )
 
 
@@ -956,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "multimodal": q_multimodal,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_audio": q_multimodal_audio,
         # rows-only (non-SQL-expressible)
         "cdc_replay": q_cdc_replay,
         "minhash_dedup": q_minhash_dedup,
@@ -1433,12 +1458,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_frames": """
             WITH v AS (SELECT range AS media_id,
-                              1000 + (range * 37) % 10000 AS dur
+                              ((1000 + (range * 37) % 10000) // 40) * 40 AS dur
                        FROM range(200) WHERE range % 3 = 2)
             SELECT media_id,
                    CAST(ts // 2000 AS BIGINT) AS frame_idx,
                    CAST(ts AS BIGINT) AS frame_ts_ms
             FROM v, unnest(generate_series(0, CAST(dur - 1 AS BIGINT), 2000)) AS t(ts)
+        """,
+        "multimodal_audio": """
+            WITH a AS (SELECT range AS media_id,
+                              8000 * (1 + (range // 3) % 3) AS sr,
+                              1 + range % 2 AS ch,
+                              400 + (range * 53) % 1600 AS nf,
+                              (range * 7919) % 65536 AS seed
+                       FROM range(200) WHERE range % 3 = 1),
+                 e AS (SELECT media_id,
+                              CAST(sum(((j * 2957 + seed) % 65536 - 32768)
+                                       * ((j * 2957 + seed) % 65536 - 32768)) AS BIGINT)
+                                  AS energy
+                       FROM a, unnest(generate_series(0, CAST(nf * ch - 1 AS BIGINT))) AS t(j)
+                       GROUP BY media_id)
+            SELECT a.media_id,
+                   CAST(sr AS BIGINT) AS sample_rate,
+                   CAST(ch AS BIGINT) AS channels,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(nf * 1000 // sr AS BIGINT) AS duration_ms,
+                   CAST(44 + nf * ch * 2 AS BIGINT) AS byte_len,
+                   e.energy
+            FROM a JOIN e USING (media_id)
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id,

@@ -6,13 +6,16 @@ the Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
 signatures, partition sizing) for decode / feature-extract / resize /
 frame-sample stages.
 
-Codec status: **PNG image decode is REAL** — a pure-stdlib parser
-(signature, chunk walk, IHDR width/height, CRC32 verification) plus a
-matching encoder used by the synthetic generator, so the decode stage is
-exercised on genuine image bytes with no PIL dependency. Audio/video
-codecs remain STUBBED: those libraries are not in this container, so the
-stages either raise ``NotImplementedError`` (when ``strict=True``) or
-produce a clearly-marked deterministic fake derived from the bytes so
+Codec status: **PNG image decode, WAV (RIFF PCM) audio decode, and AVI
+container demux are REAL** — pure-stdlib parsers (signature/FourCC
+validation, chunk walks, CRC32 where the format defines one) plus
+matching encoders used by the synthetic generator, so the decode stages
+are exercised on genuine media bytes with no PIL/torchaudio/ffmpeg
+dependency. What remains STUBBED is the pixel-level codec inside video
+frames (the AVI *container* is demuxed for real — avih header, movi
+chunk walk, per-frame bytes — but the frame payloads are opaque) and
+any non-PNG/WAV/AVI format: those either raise ``NotImplementedError``
+(when ``strict=True``) or produce a clearly-marked deterministic fake so
 the distributed plumbing stays testable end-to-end. Swapping in a full
 decoder is a one-function change — the batch iterator contract
 (`Iterator[pd.DataFrame] → Iterator[pd.DataFrame]`) is exactly what
@@ -112,6 +115,214 @@ def decode_png_header(b: bytes | None) -> tuple[int, int] | None:
     return int(w), int(h)
 
 
+def encode_wav(
+    n_frames: int, sample_rate: int = 8000, channels: int = 1, seed: int = 0
+) -> bytes:
+    """Minimal REAL WAV encoder (pure stdlib: struct).
+
+    Emits a spec-valid RIFF/WAVE file — canonical 44-byte header (fmt
+    chunk: PCM, 16-bit) followed by one data chunk of deterministic
+    interleaved samples ``s_j = ((j*2957 + seed) % 65536) - 32768`` —
+    so the decode stage runs against genuine audio bytes and the PCM
+    content is recomputable in ANSI SQL (driver oracle)."""
+    import struct
+
+    n_samples = n_frames * channels
+    samples = bytearray()
+    for j in range(n_samples):
+        samples += struct.pack("<h", ((j * 2957 + seed) % 65536) - 32768)
+    byte_rate = sample_rate * channels * 2
+    data = bytes(samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_header(b: bytes | None) -> dict | None:
+    """REAL WAV decode (pure stdlib): validates RIFF/WAVE magic, walks
+    the chunk list to the ``fmt `` and ``data`` chunks, and returns
+    {sample_rate, channels, bits, n_frames, duration_ms, pcm} — pcm is
+    the raw little-endian sample bytes. None if not a well-formed
+    16-bit-PCM WAV."""
+    import struct
+
+    if b is None or len(b) < 44:
+        return None
+    b = bytes(b)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        typ, length = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if typ == b"fmt " and length >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif typ == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits != 16 or block_align != channels * 2:
+        return None
+    n_frames = len(data) // block_align
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate,
+        "pcm": data,
+    }
+
+
+def encode_avi(
+    n_frames: int, frame_interval_ms: int = 40, media_id: int = 0
+) -> bytes:
+    """Minimal REAL AVI container encoder (pure stdlib: struct).
+
+    RIFF 'AVI ' with a LIST hdrl holding an avih header (microseconds
+    per frame + total frames) and a LIST movi of '00db' frame chunks.
+    Frame payloads are deterministic opaque bytes (pixel codecs are not
+    in this container); the CONTAINER structure is spec-shaped and is
+    what ``demux_avi`` walks for real."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<IIIIIIII",
+        frame_interval_ms * 1000,  # microseconds per frame
+        0, 0, 0,
+        n_frames,  # total frames
+        0, 1, 0,
+    ) + b"\x00" * 24
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    frames = b"".join(
+        chunk(b"00db", f"FRAME:{media_id}:{i}:".encode() + bytes((media_id * 7 + i * 13 + k) % 256 for k in range(48)))
+        for i in range(n_frames)
+    )
+    movi = chunk(b"LIST", b"movi" + frames)
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def demux_avi(b: bytes | None) -> dict | None:
+    """REAL AVI container demux (pure stdlib): validates RIFF/'AVI '
+    magic, parses the avih header (frame interval, declared frame
+    count), walks the movi LIST and extracts every '00db'/'00dc' frame
+    chunk's bytes. Returns {frame_interval_ms, n_frames, frames,
+    duration_ms}; None if the payload is not a well-formed AVI."""
+    import struct
+
+    if b is None or len(b) < 24:
+        return None
+    b = bytes(b)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    interval_us = None
+    declared_frames = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal interval_us, declared_frames
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + length]
+            if len(body) < length:
+                return
+            if fourcc == b"LIST":
+                walk(body[4:])  # skip list type fourcc, recurse into members
+            elif fourcc == b"avih" and length >= 32:
+                vals = struct.unpack("<IIIIIIII", body[:32])
+                interval_us, declared_frames = vals[0], vals[4]
+            elif fourcc in (b"00db", b"00dc"):
+                frames.append(body)
+            pos += 8 + length + (length & 1)
+
+    walk(b[12:])
+    if interval_us is None or declared_frames is None or declared_frames != len(frames):
+        return None
+    interval_ms = interval_us // 1000
+    return {
+        "frame_interval_ms": interval_ms,
+        "n_frames": len(frames),
+        "frames": frames,
+        "duration_ms": len(frames) * interval_ms,
+    }
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, mime string, byte_len long, sample_rate int, "
+    "channels int, n_frames long, duration_ms long, energy long, rms double"
+)
+
+
+def audio_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """audio decode + signal-stats stage: media rows → per-clip features.
+
+    WAV payloads are decoded FOR REAL (RIFF chunk walk + 16-bit PCM
+    parse, ``decode_wav_header``) and the energy/RMS are computed from
+    the actual samples (numpy, vectorized per clip). ``energy`` =
+    Σ sample² is an exact int64 — byte-identical across engines, so the
+    driver oracle can recompute it in ANSI SQL with zero float-parity
+    risk. Non-WAV payloads raise under ``strict=True``, else fall back
+    to a deterministic fake. Output drops the payload column (metadata-
+    only: column pruning keeps the media bytes out of any shuffle)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats_of(b):
+            if b is None:
+                return (None, None, None, None, None, None)
+            wav = decode_wav_header(bytes(b))
+            if wav is not None:
+                s = np.frombuffer(wav["pcm"], dtype="<i2").astype(np.int64)
+                energy = int((s * s).sum())
+                rms = float(np.sqrt(energy / len(s))) if len(s) else 0.0
+                return (
+                    wav["sample_rate"], wav["channels"], wav["n_frames"],
+                    wav["duration_ms"], energy, rms,
+                )
+            if strict:
+                raise NotImplementedError(
+                    "only WAV (RIFF PCM) decode is available in this container"
+                )
+            h = hashlib.sha256(bytes(b)).digest()
+            return (8000, 1, h[0], h[0] * 1000 // 8000, int.from_bytes(h[1:5], "big"), 0.0)
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            stats = payloads.map(stats_of)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "byte_len": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "sample_rate": stats.map(lambda s: s[0]),
+                    "channels": stats.map(lambda s: s[1]),
+                    "n_frames": stats.map(lambda s: s[2]),
+                    "duration_ms": stats.map(lambda s: s[3]),
+                    "energy": stats.map(lambda s: s[4]),
+                    "rms": stats.map(lambda s: s[5]),
+                }
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     """Deterministic fake of image dimension decode (fallback for
     non-PNG formats, whose codecs are not in this container)."""
@@ -172,22 +383,40 @@ def image_features(df: DataFrame, strict: bool = False, feature_dim: int = 8) ->
 def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
     """video frame-sample stage: one row per sampled frame.
 
-    STUB decode: frame bytes are a deterministic slice-hash of the
-    payload; a real ffmpeg/pyav decoder drops into the same loop.
+    AVI payloads are demuxed FOR REAL (``demux_avi`` walks the RIFF
+    container: avih header for the frame interval, movi LIST for frame
+    bytes); each grid timestamp ``k*every_ms`` within the container's
+    duration yields the native frame at ``ts // interval`` — the same
+    seek-to-timestamp semantics an ffmpeg-based sampler has. Frame
+    PIXEL decode stays out of scope (payloads are returned as the raw
+    container chunk bytes). Non-AVI payloads raise under ``strict=True``
+    or fall back to the deterministic slice-hash fake otherwise.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError("video decoder not available in this container")
         for pdf in it:
             rows = []
             # column-zip iteration, not iterrows(): no per-row Series
             # construction in the batch loop
             for mid, pay, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                if pay is None or meta is None:
+                if pay is None:
                     continue
-                dur = meta["duration_ms"] or 0
                 payload = bytes(pay)
+                avi = demux_avi(payload)
+                if avi is not None:
+                    dur, interval = avi["duration_ms"], avi["frame_interval_ms"]
+                    for i, ts in enumerate(range(0, int(dur), every_ms)):
+                        native = avi["frames"][min(ts // interval, avi["n_frames"] - 1)]
+                        rows.append(
+                            {"media_id": mid, "frame_idx": i, "frame_ts_ms": ts,
+                             "frame_bytes": native}
+                        )
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "only AVI container demux is available in this container"
+                    )
+                dur = (meta["duration_ms"] if meta is not None else 0) or 0
                 for i, ts in enumerate(range(0, int(dur), every_ms)):
                     fake = hashlib.sha256(payload + ts.to_bytes(8, "little")).digest()
                     rows.append(
@@ -220,14 +449,18 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for testing the plumbing.
 
     Every attribute is plain modular arithmetic over ``media_id`` —
-    kind = media_id % 3 (0 image / 1 audio / 2 video), duration =
-    1000 + (media_id*37) % 10000, image dims = 1 + media_id % 64/48 —
-    so the decode/frame-sample outputs are expressible as ANSI SQL and
-    the driver can oracle-check them (an earlier xxhash64-seeded variant
-    was deterministic but not reproducible outside Spark). Image rows
-    get REAL PNG payloads (``encode_png``) via a mapInPandas pass, with
-    ``meta.width/height`` set to the true encoded dimensions — so decode
-    tests can assert the real parser against ground truth.
+    kind = media_id % 3 (0 image / 1 audio / 2 video), image dims =
+    1 + media_id % 64/48, audio sample_rate = 8000*(1 + (media_id//3)%3)
+    with channels = 1 + media_id % 2 and n_frames = 400 + (media_id*53)
+    % 1600, video frame count = (1000 + (media_id*37) % 10000) // 40 at
+    40 ms/frame — so the decode/demux outputs are expressible as ANSI
+    SQL and the driver can oracle-check them (an earlier xxhash64-seeded
+    variant was deterministic but not reproducible outside Spark).
+    Image rows get REAL PNG payloads (``encode_png``), audio rows REAL
+    WAV payloads (``encode_wav``), video rows REAL AVI containers
+    (``encode_avi``) via a mapInPandas pass, with ``meta`` set to the
+    true encoded parameters — so decode tests can assert the real
+    parsers against ground truth.
     """
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     df = spark.range(n).withColumnRenamed("id", "media_id")
@@ -255,18 +488,32 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         ).alias("meta"),
     )
 
-    def inject_png(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def inject_codecs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads, metas = list(pdf["payload"]), list(pdf["meta"])
             for i, (k, mid) in enumerate(zip(pdf["kind"], pdf["media_id"])):
+                mid = int(mid)
+                m = dict(metas[i])
                 if k == "image":
-                    w, h = 1 + int(mid) % 64, 1 + int(mid) % 48
-                    payloads[i] = encode_png(w, h, seed=int(mid))
-                    m = dict(metas[i])
+                    w, h = 1 + mid % 64, 1 + mid % 48
+                    payloads[i] = encode_png(w, h, seed=mid)
                     m["width"], m["height"] = w, h
-                    metas[i] = m
+                elif k == "audio":
+                    sr = 8000 * (1 + (mid // 3) % 3)
+                    ch = 1 + mid % 2
+                    nf = 400 + (mid * 53) % 1600
+                    payloads[i] = encode_wav(
+                        nf, sample_rate=sr, channels=ch, seed=(mid * 7919) % 65536
+                    )
+                    m["sample_rate"] = sr
+                    m["duration_ms"] = nf * 1000 // sr
+                else:  # video: real AVI container at 25 fps (40 ms/frame)
+                    nf = max(1, (1000 + (mid * 37) % 10000) // 40)
+                    payloads[i] = encode_avi(nf, frame_interval_ms=40, media_id=mid)
+                    m["duration_ms"] = nf * 40
+                metas[i] = m
             pdf = pdf.copy()
             pdf["payload"], pdf["meta"] = payloads, metas
             yield pdf
 
-    return base.mapInPandas(inject_png, MEDIA_SCHEMA)
+    return base.mapInPandas(inject_codecs, MEDIA_SCHEMA)

@@ -78,6 +78,85 @@ def test_png_codec_roundtrip():
     assert decode_png_header(None) is None
 
 
+def test_wav_codec_roundtrip():
+    """The WAV codec is REAL: encode → RIFF chunk walk returns the exact
+    header fields and PCM bytes; truncated/corrupted payloads are
+    rejected."""
+    from ethereum_etl_spark.functions.multimodal import decode_wav_header, encode_wav
+
+    b = encode_wav(500, sample_rate=16000, channels=2, seed=99)
+    wav = decode_wav_header(b)
+    assert wav["sample_rate"] == 16000
+    assert wav["channels"] == 2
+    assert wav["n_frames"] == 500
+    assert wav["duration_ms"] == 500 * 1000 // 16000
+    assert len(wav["pcm"]) == 500 * 2 * 2
+    # sample values follow the deterministic formula
+    import struct
+
+    s0, s1 = struct.unpack("<hh", wav["pcm"][:4])
+    assert s0 == (99 % 65536) - 32768
+    assert s1 == ((2957 + 99) % 65536) - 32768
+    assert decode_wav_header(b[:30]) is None
+    assert decode_wav_header(b"RIFFxxxxNOPE" + b[12:]) is None
+    assert decode_wav_header(None) is None
+
+
+def test_avi_container_roundtrip():
+    """The AVI demux is REAL: encode → container walk returns the frame
+    interval, count, and every frame's exact bytes; non-AVI rejected."""
+    from ethereum_etl_spark.functions.multimodal import demux_avi, encode_avi
+
+    b = encode_avi(7, frame_interval_ms=40, media_id=5)
+    avi = demux_avi(b)
+    assert avi["n_frames"] == 7
+    assert avi["frame_interval_ms"] == 40
+    assert avi["duration_ms"] == 280
+    assert len(avi["frames"]) == 7
+    assert avi["frames"][3].startswith(b"FRAME:5:3:")
+    assert demux_avi(b"RIFF\x00\x00\x00\x00WAVE" + b[12:]) is None
+    assert demux_avi(None) is None
+
+
+def test_audio_features_real_decode(spark):
+    """audio_features decodes the generator's WAV bytes for real: header
+    fields and the exact integer PCM energy match a pure-python
+    recomputation from the arithmetic spec."""
+    from ethereum_etl_spark.functions.multimodal import audio_features
+
+    media = gen_media(spark, n=60)
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert rows and set(rows) == {m for m in range(60) if m % 3 == 1}
+    for mid, r in rows.items():
+        sr = 8000 * (1 + (mid // 3) % 3)
+        ch = 1 + mid % 2
+        nf = 400 + (mid * 53) % 1600
+        seed = (mid * 7919) % 65536
+        energy = sum(
+            (((j * 2957 + seed) % 65536) - 32768) ** 2 for j in range(nf * ch)
+        )
+        assert (r["sample_rate"], r["channels"], r["n_frames"]) == (sr, ch, nf)
+        assert r["duration_ms"] == nf * 1000 // sr
+        assert r["byte_len"] == 44 + nf * ch * 2
+        assert r["energy"] == energy
+        assert abs(r["rms"] - (energy / (nf * ch)) ** 0.5) < 1e-6
+
+
+def test_sample_frames_real_demux(spark):
+    """sample_frames pulls NATIVE frame bytes out of the real AVI
+    container: the frame at grid ts must be the movi chunk at
+    ts // interval."""
+    media = gen_media(spark, n=30)
+    frames = {
+        (r["media_id"], r["frame_ts_ms"]): bytes(r["frame_bytes"])
+        for r in sample_frames(media, every_ms=2000, strict=True).collect()
+    }
+    assert frames
+    for (mid, ts), fb in frames.items():
+        native_idx = ts // 40
+        assert fb.startswith(f"FRAME:{mid}:{native_idx}:".encode())
+
+
 def test_media_pipeline_plumbing(spark):
     media = gen_media(spark, n=120).cache()
     feats = image_features(media)
@@ -116,3 +195,24 @@ def test_media_strict_mode(spark):
     )
     with _pt.raises(Exception):  # NotImplementedError surfaces as PythonException
         image_features(jpeg, strict=True).collect()
+
+    from ethereum_etl_spark.functions.multimodal import audio_features
+
+    # real WAV/AVI payloads pass strict mode end-to-end...
+    assert audio_features(media, strict=True).count() == media.filter(
+        F.col("kind") == "audio"
+    ).count()
+    assert sample_frames(media, strict=True).count() > 0
+    # ...while genuinely-unavailable codecs raise
+    mp3 = spark.createDataFrame(
+        [(1, "audio", bytearray(b"ID3notawav"), "audio/mpeg", None)], MEDIA_SCHEMA
+    )
+    with _pt.raises(Exception):
+        audio_features(mp3, strict=True).collect()
+    mp4 = spark.createDataFrame(
+        [(2, "video", bytearray(b"\x00\x00\x00 ftypisom-not-avi"), "video/mp4",
+          {"width": None, "height": None, "duration_ms": 1000, "sample_rate": None})],
+        MEDIA_SCHEMA,
+    )
+    with _pt.raises(Exception):
+        sample_frames(mp4, strict=True).collect()
