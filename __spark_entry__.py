@@ -121,6 +121,34 @@ def q_cdc_final_state(spark, sf_dir):
     return win.filter(F.col("op") != "delete").select("user_id", "event_id", "value")
 
 
+def q_cdc_changes(spark, sf_dir):
+    """Change feed between two states (snapshot-to-snapshot incremental
+    read): state A = LWW state of the stream's first half (event_id ≤
+    max/2), state B = final LWW state; emit per-key NET changes (insert
+    / update_postimage / delete) with the post-image from B. This is
+    the state_diff operator the engine's manifest-diff changes() path
+    reduces to (plans/engine.py::changes prunes candidates to files
+    added in the window; semantics identical)."""
+    from ethereum_etl_spark.operators.changes import state_diff
+    from ethereum_etl_spark.operators.lww import lww_agg
+
+    ev = _t(spark, sf_dir, "events")
+    split = ev.agg(F.floor(F.max("event_id") / 2).cast("long")).collect()[0][0]
+    live_cols = ["user_id", "event_id", "ts", "value"]
+
+    def _state(df):
+        win = lww_agg(df, key_cols=("user_id",), version_cols=("ts", "event_id"))
+        return win.filter(F.col("event_type") != "error").select(*live_cols)
+
+    a = _state(ev.filter(F.col("event_id") <= split))
+    b = _state(ev)
+    out = state_diff(
+        a, b, key_cols=("user_id",), version_cols=("ts", "event_id"),
+        payload_cols=("event_id", "value"),
+    )
+    return out.select("user_id", "change_type", "event_id", "value")
+
+
 def q_merge_upsert(spark, sf_dir):
     """MERGE INTO semantics (S6/J6): target = LWW state of even event_ids,
     source batch = LWW state of odd event_ids; version-guarded upsert."""
@@ -556,6 +584,30 @@ def q_doc_fingerprints(spark, sf_dir):
     return d.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    repetition-removal family): duplicate-line fraction, top-bigram
+    occupancy, duplicated-trigram fraction. Line signal is zero-shuffle
+    JVM column work; n-gram signals are explode → hash-agg with
+    map-side combine (wire bytes ∝ distinct grams per doc)."""
+    from ethereum_etl_spark.functions.textstats import repetition_features
+
+    # the fixture docs are single-line; derive a deterministic multi-line
+    # input (head-line repeated for doc_id % 4 == 0) so the line signal
+    # has non-zero rows and the oracle row can actually fail
+    d = _t(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 50)
+    d = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat_ws("\n", "text", head, head)
+        ).otherwise(F.concat_ws("\n", "text", head)).alias("text"),
+    )
+    return repetition_features(d).select(
+        "doc_id", "n_lines", "dup_line_frac", "top_bigram_frac", "dup_trigram_frac"
+    )
+
+
 def q_token_stats(spark, sf_dir):
     from ethereum_etl_spark.functions.textstats import token_count
 
@@ -933,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_agg": q_lww_agg,
         "lww_salted": q_lww_salted,
         "cdc_final_state": q_cdc_final_state,
+        "cdc_changes": q_cdc_changes,
         "merge_upsert": q_merge_upsert,
         "retention_keep3": q_retention_keep3,
         "distinct_users": q_distinct_users,
@@ -972,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_fingerprints": q_doc_fingerprints,
         "token_stats": q_token_stats,
+        "repetition_stats": q_repetition_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "jaccard_unigram_pairs": q_jaccard_unigram_pairs,
@@ -1040,6 +1094,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                           ORDER BY ts DESC, event_id DESC) AS rn FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_changes": """
+            WITH k AS (SELECT max(event_id) // 2 AS split FROM events),
+                 a_state AS (
+                    SELECT user_id, ts, event_id FROM (
+                        SELECT e.*, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                        FROM events e, k WHERE e.event_id <= k.split)
+                    WHERE rn = 1 AND event_type <> 'error'),
+                 b_state AS (
+                    SELECT user_id, ts, event_id, value FROM (
+                        SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                        FROM events)
+                    WHERE rn = 1 AND event_type <> 'error')
+            SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+                   CASE WHEN a.user_id IS NULL THEN 'insert'
+                        WHEN b.user_id IS NULL THEN 'delete'
+                        ELSE 'update_postimage' END AS change_type,
+                   b.event_id AS event_id,
+                   b.value AS value
+            FROM b_state b FULL OUTER JOIN a_state a ON a.user_id = b.user_id
+            WHERE a.user_id IS NULL OR b.user_id IS NULL
+               OR (a.ts, a.event_id) <> (b.ts, b.event_id)
         """,
         "merge_upsert": """
             WITH t AS (SELECT user_id, event_id, ts, event_type, value FROM (
@@ -1367,6 +1445,48 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
                    len(text) AS n_chars_calc
             FROM documents
+        """,
+        "repetition_stats": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN text || chr(10) || substr(text, 1, 50)
+                                      || chr(10) || substr(text, 1, 50)
+                            ELSE text || chr(10) || substr(text, 1, 50) END AS text
+                FROM documents),
+                 l AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                       CAST(len(string_split(text, chr(10)))
+                            - len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS n_dup
+                FROM d),
+                 w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                   x -> x <> '') AS ws
+                FROM d),
+                 bi AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+                FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 2),
+                 bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+                 bia AS (SELECT doc_id, max(c) / sum(c) AS top_bigram_frac
+                         FROM bic GROUP BY doc_id),
+                 tri AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+                WHERE len(ws) >= 3),
+                 tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+                 tria AS (SELECT doc_id,
+                                 COALESCE(sum(c) FILTER (WHERE c > 1), 0) / sum(c)
+                                     AS dup_trigram_frac
+                          FROM tric GROUP BY doc_id)
+            SELECT l.doc_id, l.n_lines,
+                   CASE WHEN l.n_lines > 0 THEN l.n_dup / l.n_lines
+                        ELSE 0.0 END AS dup_line_frac,
+                   COALESCE(bia.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   COALESCE(tria.dup_trigram_frac, 0.0) AS dup_trigram_frac
+            FROM l LEFT JOIN bia USING (doc_id) LEFT JOIN tria USING (doc_id)
         """,
         "quality_scores": rf"""
             WITH f AS (

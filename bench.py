@@ -43,8 +43,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "6000000"))
 CDC_URLS = int(os.environ.get("BENCH_CDC_URLS", "1200000"))
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "5"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "4"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))  # N vs 4N
+#: timed apply passes per pinned subprocess (see apply_once docstring)
+APPLY_PASSES = int(os.environ.get("BENCH_APPLY_PASSES", "2"))
 #: parquet codec for WAL + table writes (snappy | zstd). zstd halves
 #: bytes at near-parity wall on this host (BASELINE.md codec A/B) and
 #: is the production default at 100 TB.
@@ -191,10 +193,16 @@ def run_headline() -> dict[str, float]:
     return times, raw
 
 
-def apply_once(cores: int, scratch: str, tag: str) -> float:
-    """One pinned apply: warmup (codegen) + timed full apply. Runs inside
-    its own subprocess so the JVM's thread pools are created under the
-    taskset cpu mask."""
+def apply_once(cores: int, scratch: str, tag: str) -> list[float]:
+    """One pinned leg: warmup (codegen) + APPLY_PASSES timed full applies
+    in the same JVM, each to a fresh table dir. Runs inside its own
+    subprocess so the JVM's thread pools are created under the taskset
+    cpu mask. Two timed passes per leg is the same steady-state best-of
+    methodology as the headline queries, applied SYMMETRICALLY to both
+    parallelism levels: the second pass runs in a fully JIT-warm JVM, so
+    per-leg min filters the host's multi-second stall events (measured
+    up to 1.6x draw-to-draw spread at 4 cores) at half the subprocess
+    overhead of an extra round."""
     from ethereum_etl_spark.plans.engine import CDCEngine, EngineConfig
     from pyspark.sql import SparkSession  # noqa: F401
 
@@ -209,20 +217,22 @@ def apply_once(cores: int, scratch: str, tag: str) -> float:
         config=EngineConfig(epoch_size=100_000, n_buckets=64, table_mode="mor",
                             persist_light=persist_light),
     ).run(up_to_seq=min(100_000, CDC_EVENTS))
-    table = os.path.join(scratch, f"table_{tag}")
-    shutil.rmtree(table, ignore_errors=True)
-    engine = CDCEngine(
-        spark, wal, table,
-        config=EngineConfig(epoch_size=CDC_EVENTS, n_buckets=64, table_mode="mor",
-                            persist_light=persist_light),
-    )
-    t0 = time.time()
-    engine.run()
-    dt = time.time() - t0
+    passes = []
+    for p in range(APPLY_PASSES):
+        table = os.path.join(scratch, f"table_{tag}_{p}")
+        shutil.rmtree(table, ignore_errors=True)
+        engine = CDCEngine(
+            spark, wal, table,
+            config=EngineConfig(epoch_size=CDC_EVENTS, n_buckets=64, table_mode="mor",
+                                persist_light=persist_light),
+        )
+        t0 = time.time()
+        engine.run()
+        passes.append(time.time() - t0)
+        shutil.rmtree(table, ignore_errors=True)
     spark.stop()
     shutil.rmtree(warm_tbl, ignore_errors=True)
-    shutil.rmtree(table, ignore_errors=True)
-    return dt
+    return passes
 
 
 def bench_cdc(scratch: str) -> dict:
@@ -244,7 +254,7 @@ def bench_cdc(scratch: str) -> dict:
 
     have_taskset = shutil.which("taskset") is not None
 
-    def _pinned(cores: int, *argv: str, marker: str) -> float:
+    def _pinned(cores: int, *argv: str, marker: str) -> list[float]:
         cmd = []
         if have_taskset:
             cmd += ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"]
@@ -252,31 +262,33 @@ def bench_cdc(scratch: str) -> dict:
         p = subprocess.run(cmd, capture_output=True, text=True)
         for line in p.stdout.splitlines():
             if line.startswith(marker):
-                return float(line.split()[1])
+                return [float(v) for v in line.split()[1:]]
         raise RuntimeError(f"subprocess failed: {p.stderr[-2000:]}")
 
-    def apply_run(cores: int, tag: str) -> float:
+    def apply_run(cores: int, tag: str) -> list[float]:
         return _pinned(cores, "_apply", str(cores), scratch, tag, marker="APPLY_SECONDS")
 
     def calibrate(cores: int) -> float:
-        return _pinned(cores, "_spin", str(cores), marker="SPIN_PER_CORE")
+        return _pinned(cores, "_spin", str(cores), marker="SPIN_PER_CORE")[0]
 
     def calibrate_membw(cores: int) -> float:
-        return _pinned(cores, "_membw", str(cores), marker="MEMBW_PER_CORE")
+        return _pinned(cores, "_membw", str(cores), marker="MEMBW_PER_CORE")[0]
 
     # result-INDEPENDENT stopping rule: a fixed number of interleaved
-    # rounds, best-of per level. (The previous rule kept adding rounds
-    # until the efficiency estimate passed, which conditions the headline
-    # number on reaching the target — a selection bias. Fixed rounds +
-    # best-of only filters the host's random multi-second stalls, which
-    # affect both levels symmetrically; all raw times are reported.)
+    # rounds x a fixed number of timed passes per leg, best-of per level.
+    # (The previous rule kept adding rounds until the efficiency estimate
+    # passed, which conditions the headline number on reaching the target
+    # — a selection bias. Fixed rounds + best-of only filters the host's
+    # random multi-second stalls, which affect both levels symmetrically
+    # — both legs get the identical warmup + APPLY_PASSES protocol; all
+    # raw times are reported.)
     lo, hi = SCALE_N, SCALE_N * 4
     raw: dict[int, list[float]] = {lo: [], hi: []}
     spin: dict[int, list[float]] = {lo: [], hi: []}
     membw: dict[int, list[float]] = {lo: [], hi: []}
     for r in range(ROUNDS):
         for cores in (lo, hi):
-            raw[cores].append(round(apply_run(cores, f"{cores}_{r}"), 2))
+            raw[cores].extend(round(s, 2) for s in apply_run(cores, f"{cores}_{r}"))
             spin[cores].append(round(calibrate(cores), 1))
             membw[cores].append(round(calibrate_membw(cores), 1))
     best = {c: min(ts) for c, ts in raw.items()}
@@ -316,7 +328,13 @@ def bench_cdc(scratch: str) -> dict:
     # their max give a window-drift-controlled view. Result-independent:
     # fixed ROUNDS, deterministic definition, all raw values reported.
     per_round = [
-        round(raw[lo][r] / raw[hi][r] / (hi / lo), 3) for r in range(ROUNDS)
+        round(
+            min(raw[lo][r * APPLY_PASSES:(r + 1) * APPLY_PASSES])
+            / min(raw[hi][r * APPLY_PASSES:(r + 1) * APPLY_PASSES])
+            / (hi / lo),
+            3,
+        )
+        for r in range(ROUNDS)
     ]
     out["per_round_efficiency"] = per_round
     out["scaling_efficiency_best_window"] = max(per_round)
@@ -325,7 +343,11 @@ def bench_cdc(scratch: str) -> dict:
     # regime on this host is bimodal (hypervisor-throttled runs up to
     # 3.5x apart — BASELINE.md), so the leg uses the SAME fixed-rounds
     # best-of protocol as the N/4N pair instead of a single draw.
-    t32s = [round(apply_run(CPUS, f"{CPUS}_x{r}"), 2) for r in range(3)]
+    t32s = [
+        round(s, 2)
+        for r in range(2)
+        for s in apply_run(CPUS, f"{CPUS}_x{r}")
+    ]
     out[f"raw_apply_sec_n{CPUS}"] = t32s
     out[f"apply_sec_n{CPUS}"] = min(t32s)
     out[f"events_per_sec_n{CPUS}"] = round(CDC_EVENTS / min(t32s), 1)
@@ -335,8 +357,8 @@ def bench_cdc(scratch: str) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "_apply":
         # subprocess mode (pinned by the parent via taskset)
-        dt = apply_once(int(sys.argv[2]), sys.argv[3], sys.argv[4])
-        print(f"APPLY_SECONDS {dt:.2f}")
+        passes = apply_once(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        print("APPLY_SECONDS " + " ".join(f"{dt:.2f}" for dt in passes))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "_spin":
         print(f"SPIN_PER_CORE {host_spin(int(sys.argv[2])):.1f}")

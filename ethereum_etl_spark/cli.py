@@ -124,6 +124,25 @@ def main(argv: list[str] | None = None) -> int:
     _add_engine_args(e)
     e.add_argument("--out", required=True)
 
+    lk = sub.add_parser("lookup", help="point lookup by key with manifest "
+                        "file-skipping: scans ~1/n_buckets of the table "
+                        "regardless of its size")
+    _add_engine_args(lk)
+    lk.add_argument("--key", required=True)
+    lk.add_argument("--snapshot", default=None,
+                    help="time-travel lookup at this committed snapshot")
+
+    ch = sub.add_parser("changes", help="net row changes between two committed "
+                        "snapshots (incremental read / change feed); work is "
+                        "proportional to rows written in the window")
+    _add_engine_args(ch)
+    ch.add_argument("--from-snapshot", default=None,
+                    help="exclusive lower snapshot id (default: table creation)")
+    ch.add_argument("--to-snapshot", default=None,
+                    help="inclusive upper snapshot id (default: current)")
+    ch.add_argument("--out", default=None,
+                    help="write the change rows as parquet here (default: summary only)")
+
     m = sub.add_parser("multi", help="multi-table apply: one WAL → pages + "
                        "host_stats under one atomic group commit "
                        "(reference: stream → 14 entity tables, src/tasks/dag.py:32-49)")
@@ -283,6 +302,55 @@ def main(argv: list[str] | None = None) -> int:
             "files": len(shards),
             "bytes": sum(os.path.getsize(p) for p in shards),
             "high_watermark": engine.table.high_watermark(),
+        }))
+        return 0
+
+    if args.cmd == "lookup":
+        df, scanned, total = engine.table.read_key(args.key, snapshot_id=args.snapshot)
+        rows = [] if df is None else df.collect()
+        out = {
+            "key": args.key,
+            "found": len(rows) > 0,
+            "files_scanned": scanned,
+            "files_total": total,
+        }
+        if rows:
+            r = rows[0].asDict()
+            r.pop("html", None)  # binary: not JSON-safe; text rides along
+            r["warc_ts"] = str(r.get("warc_ts"))
+            out["row"] = r
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "changes":
+        from pyspark.sql import functions as F
+
+        try:
+            df = engine.changes(args.from_snapshot, args.to_snapshot)
+        except FileNotFoundError as exc:
+            print(json.dumps({
+                "error": f"unknown or expired snapshot: {exc}",
+                "known": [e["snapshot_id"] for e in engine.table.read_ledger()
+                          if "snapshot_id" in e],
+            }))
+            return 1
+        if df is None:
+            print(json.dumps({"changes": 0}))
+            return 0
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            df = engine.spark.read.parquet(args.out)
+        counts = {
+            r["change_type"]: r["n"]
+            for r in df.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({
+            "from": args.from_snapshot,
+            "to": args.to_snapshot,
+            "inserts": counts.get("insert", 0),
+            "updates": counts.get("update_postimage", 0),
+            "deletes": counts.get("delete", 0),
+            "out": args.out,
         }))
         return 0
 

@@ -401,6 +401,51 @@ class SnapshotTable:
                 layers.setdefault(f.group, set()).add(snap_dir)
         return {g: len(s) for g, s in layers.items()}
 
+    def read_key(
+        self, key, snapshot_id: str | None = None
+    ) -> tuple[DataFrame | None, int, int]:
+        """Point lookup with manifest file-skipping.
+
+        Returns (row DataFrame or None, files_scanned, files_total).
+        The key's hash bucket selects its base files and its compaction
+        group selects the delta files that could hold newer versions —
+        everything else is skipped at PLAN time from the manifest, so a
+        lookup touches ~1/n_buckets of base bytes + ~1/n_delta_groups of
+        delta bytes regardless of table size (the reference serves point
+        reads from PK indexes — src/repositories/sqlite/base.py:92-101;
+        here the bucket layout IS the index). The surviving rows for the
+        key are LWW-collapsed; a winning tombstone yields an empty
+        result (key deleted), same contract as ``read``.
+        """
+        snap = (
+            self.read_snapshot_meta(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        if snap is None:
+            return None, 0, 0
+        # same hash expression the writers use, evaluated on a 1-row frame
+        b = (
+            self.spark.createDataFrame([(key,)], [self.key_col])
+            .select(bucket_expr(self.key_col, self.n_buckets).alias("b"))
+            .collect()[0]["b"]
+        )
+        g = group_of_bucket(b, self.n_delta_groups)
+        files = [
+            f
+            for f in snap.files
+            if (f.kind == "base" and f.bucket == b)
+            or (f.kind == "delta" and f.group in (g, -1))
+        ]
+        if not files:
+            return None, 0, len(snap.files)
+        df = self._read_files(files, snap.schema_version)
+        df = df.filter(F.col(self.key_col) == key)
+        if any(f.kind == "delta" for f in files):
+            df = self._collapse_payload_light(df)
+        df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        return df.drop(TOMBSTONE_COL, BUCKET_COL), len(files), len(snap.files)
+
     def read_buckets(
         self, buckets: set[int], to_version: int
     ) -> tuple[DataFrame | None, list[DataFile], int]:

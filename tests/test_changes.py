@@ -1,0 +1,131 @@
+"""Change feed (snapshot-to-snapshot incremental reads).
+
+Ground truth: the change feed between snapshots A and B must equal the
+brute-force diff of the two time-travel reads — inserts are keys in B
+only, deletes keys in A only, updates keys whose winning (warc_ts, seq)
+differs, with the post-image payload from B. Net semantics: keys that
+churned inside the window but ended where they started emit nothing.
+"""
+
+import pandas as pd
+import pytest
+
+from ethereum_etl_spark.plans.engine import CDCEngine, EngineConfig
+from ethereum_etl_spark.sources.walgen import WalConfig, gen_wal, write_wal
+
+
+@pytest.fixture()
+def wal_path(spark, tmp_path):
+    # ooo_frac drives late data (candidates that lose the LWW race) and
+    # the generator's delete ops exercise tombstone changes
+    cfg = WalConfig(n_events=8_000, n_urls=1_200, ooo_frac=0.2)
+    p = str(tmp_path / "wal")
+    write_wal(gen_wal(spark, cfg), p, n_files=8)
+    return p
+
+
+def _state(engine: CDCEngine, snapshot_id: str | None) -> pd.DataFrame:
+    df = engine.read_table(snapshot_id=snapshot_id)
+    assert df is not None
+    return df.toPandas().set_index("url")
+
+
+def _expected_diff(a: pd.DataFrame | None, b: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    a_index = set() if a is None else set(a.index)
+    for url, row in b.iterrows():
+        if url not in a_index:
+            rows.append((url, "insert", row["seq"]))
+        elif (a.loc[url, "warc_ts"], a.loc[url, "seq"]) != (row["warc_ts"], row["seq"]):
+            rows.append((url, "update_postimage", row["seq"]))
+    if a is not None:
+        for url in a_index - set(b.index):
+            rows.append((url, "delete", None))
+    return (
+        pd.DataFrame(rows, columns=["url", "change_type", "seq"])
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def _got_changes(engine: CDCEngine, from_snap: str | None, to_snap: str | None = None):
+    df = engine.changes(from_snap, to_snap)
+    assert df is not None
+    pdf = df.toPandas()
+    got = pdf[["url", "change_type", "seq"]].copy()
+    got.loc[got["change_type"] == "delete", "seq"] = None
+    return got.sort_values("url").reset_index(drop=True), pdf
+
+
+def _assert_feed_matches(engine, from_snap, to_snap=None):
+    a = _state(engine, from_snap) if from_snap is not None else None
+    b = _state(engine, to_snap)
+    exp = _expected_diff(a, b)
+    got, _ = _got_changes(engine, from_snap, to_snap)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    return exp
+
+
+def test_changes_between_snapshots(spark, wal_path, tmp_table):
+    eng = CDCEngine(
+        spark, wal_path, tmp_table, config=EngineConfig(epoch_size=2_000, n_buckets=8)
+    )
+    results = eng.run()
+    assert len(results) == 4
+    snaps = [r.snapshot_id for r in results]
+    exp = _assert_feed_matches(eng, snaps[1], snaps[3])
+    # non-vacuous: the window must contain every change type
+    assert set(exp["change_type"]) == {"insert", "update_postimage", "delete"}
+
+
+def test_changes_from_creation_is_all_inserts(spark, wal_path, tmp_table):
+    eng = CDCEngine(
+        spark, wal_path, tmp_table, config=EngineConfig(epoch_size=4_000, n_buckets=8)
+    )
+    eng.run()
+    got, pdf = _got_changes(eng, None)
+    assert set(got["change_type"]) == {"insert"}
+    b = _state(eng, None)
+    assert len(got) == len(b)
+    # post-image payload rides along: text present on every insert
+    assert pdf["text"].notna().all()
+
+
+def test_changes_empty_window(spark, wal_path, tmp_table):
+    eng = CDCEngine(
+        spark, wal_path, tmp_table, config=EngineConfig(epoch_size=4_000, n_buckets=8)
+    )
+    results = eng.run()
+    last = results[-1].snapshot_id
+    df = eng.changes(last, last)
+    assert df is not None and df.count() == 0
+
+
+def test_changes_across_compaction(spark, wal_path, tmp_table):
+    """A compaction inside the window rewrites old rows into new files;
+    those candidates must compare version-equal and emit nothing."""
+    eng = CDCEngine(
+        spark, wal_path, tmp_table, config=EngineConfig(epoch_size=2_000, n_buckets=8)
+    )
+    results = eng.run(up_to_seq=4_000)
+    snap_a = results[-1].snapshot_id
+    eng.table.compact_groups()
+    eng.run()
+    _assert_feed_matches(eng, snap_a, None)
+
+
+def test_changes_payload_is_post_image(spark, wal_path, tmp_table):
+    eng = CDCEngine(
+        spark, wal_path, tmp_table, config=EngineConfig(epoch_size=2_000, n_buckets=8)
+    )
+    results = eng.run()
+    snaps = [r.snapshot_id for r in results]
+    _, pdf = _got_changes(eng, snaps[0], snaps[3])
+    b = _state(eng, snaps[3])
+    ups = pdf[pdf["change_type"] != "delete"]
+    assert len(ups) > 0
+    for _, row in ups.head(50).iterrows():
+        assert b.loc[row["url"], "seq"] == row["seq"]
+        assert b.loc[row["url"], "text"] == row["text"]
+    dels = pdf[pdf["change_type"] == "delete"]
+    assert dels["text"].isna().all() and dels["html"].isna().all()
