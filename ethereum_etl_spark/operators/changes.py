@@ -31,11 +31,135 @@ B equals state A for that key.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+if TYPE_CHECKING:
+    from ethereum_etl_spark.operators.snapshot_table import SnapshotTable
+    from ethereum_etl_spark.schemas import SchemaRegistry
+
 CHANGE_TYPE_COL = "change_type"
+
+
+def table_changes(
+    table: "SnapshotTable",
+    registry: "SchemaRegistry",
+    from_snapshot: str | None,
+    to_snapshot: str | None = None,
+) -> DataFrame | None:
+    """Incremental change feed over an LWW SnapshotTable (version order
+    (warc_ts, seq)). Candidate keys come from the MANIFEST DIFF — only
+    files added after ``from_snapshot`` are scanned — so candidate work
+    is ∝ rows written in the window, not ∝ table size. Per candidate
+    key the winner among new rows races the key's winner at A (live row
+    OR tombstone: a late upsert must lose to a higher-versioned
+    pre-existing tombstone); the A-side probe is one payload-LIGHT
+    (3-column pruned) scan of snapshot A joined on the key. Post-image
+    payloads come from a ``seq`` equi-join against the window's files
+    only — payload bytes never shuffle and never leave the window. A
+    compaction inside the window only ADDS already-filtered candidates
+    (rewritten rows compare version-equal to their A winner) — correct,
+    just less pruned.
+    """
+    from ethereum_etl_spark.operators.snapshot_table import TOMBSTONE_COL
+    from ethereum_etl_spark.schemas import schema_for_version
+
+    snap_b = (
+        table.read_snapshot_meta(to_snapshot)
+        if to_snapshot is not None
+        else table.current_snapshot()
+    )
+    if snap_b is None:
+        return None
+    snap_a = (
+        table.read_snapshot_meta(from_snapshot)
+        if from_snapshot is not None
+        else None
+    )
+    key = table.key_col
+    schema = schema_for_version(registry, snap_b.schema_version)
+    payload_cols = [
+        f for f in schema.fieldNames() if f not in (key, "warc_ts", "seq")
+    ]
+    payload_types = {f.name: f.dataType for f in schema.fields}
+
+    a_paths = {f.path for f in snap_a.files} if snap_a is not None else set()
+    new_files = [f for f in snap_b.files if f.path not in a_paths]
+    out_cols = [key, CHANGE_TYPE_COL, "warc_ts", "seq", *payload_cols]
+    if not new_files:
+        return (
+            table.spark.createDataFrame(
+                [], table._physical_schema(snap_b.schema_version)
+            )
+            .withColumn(CHANGE_TYPE_COL, F.lit(""))
+            .select(*out_cols)
+            .limit(0)
+        )
+
+    new_df = table._read_files(new_files, snap_b.schema_version)
+    light = new_df.select(
+        key,
+        "warc_ts",
+        "seq",
+        F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias("__del"),
+    )
+    # winner among the window's rows per key: map-side partial agg over
+    # ~25-byte tuples (seq is unique, so the struct max is a total
+    # order; __del rides along on the winning row)
+    cand = (
+        light.groupBy(key)
+        .agg(F.max(F.struct("warc_ts", "seq", "__del")).alias("__v"))
+        .select(
+            key,
+            F.col("__v.warc_ts").alias("warc_ts"),
+            F.col("__v.seq").alias("seq"),
+            F.col("__v.__del").alias("__del"),
+        )
+    )
+    if snap_a is not None:
+        a_state = table.read(snapshot_id=from_snapshot)
+        a_all = a_state.select(
+            key,
+            F.col("warc_ts").alias("__a_warc_ts"),
+            F.col("seq").alias("__a_seq"),
+            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias("__a_del"),
+        )
+        j = cand.join(a_all, on=key, how="left")
+    else:
+        j = (
+            cand.withColumn("__a_warc_ts", F.lit(None).cast("timestamp"))
+            .withColumn("__a_seq", F.lit(None).cast("long"))
+            .withColumn("__a_del", F.lit(False))
+        )
+    in_a = F.col("__a_seq").isNotNull() & ~F.col("__a_del")
+    cand_version = F.struct(F.col("warc_ts").alias("ts"), F.col("seq").alias("s"))
+    a_version = F.struct(
+        F.col("__a_warc_ts").alias("ts"), F.col("__a_seq").alias("s")
+    )
+    # a candidate changes state B only if it BEATS the key's A winner;
+    # version-equal candidates are compaction rewrites (no change),
+    # version-lower candidates are late data that lost the LWW race
+    changed = j.filter(F.col("__a_seq").isNull() | (cand_version > a_version))
+    upserts = (
+        changed.filter(~F.col("__del"))
+        .withColumn(
+            CHANGE_TYPE_COL,
+            F.when(in_a, F.lit("update_postimage")).otherwise(F.lit("insert")),
+        )
+        .select(key, CHANGE_TYPE_COL, "warc_ts", "seq")
+        .join(new_df.select("seq", *payload_cols), on="seq", how="inner")
+        .select(*out_cols)
+    )
+    deletes = changed.filter(F.col("__del") & in_a).select(
+        key,
+        F.lit("delete").alias(CHANGE_TYPE_COL),
+        "warc_ts",
+        "seq",
+        *[F.lit(None).cast(payload_types[c]).alias(c) for c in payload_cols],
+    )
+    return upserts.unionByName(deletes)
 
 
 def state_diff(
@@ -58,6 +182,10 @@ def state_diff(
 
     ``a`` may be None (empty initial state): every ``b`` row is an
     insert — no join is planned at all in that case.
+
+    ``version_cols`` must be non-null (SQL struct equality with a null
+    field is null, which would classify a genuinely-changed row as
+    unchanged) — true for LWW version columns and aggregate values.
     """
     keys = list(key_cols)
     if a is None:

@@ -551,106 +551,9 @@ class CDCEngine:
         ``to_snapshot=None`` = current snapshot. Like time travel, both
         snapshots must not be expired. Returns None for an empty table.
         """
-        from ethereum_etl_spark.operators.changes import CHANGE_TYPE_COL
-        from ethereum_etl_spark.schemas import schema_for_version
+        from ethereum_etl_spark.operators.changes import table_changes
 
-        tbl = self.table
-        snap_b = (
-            tbl.read_snapshot_meta(to_snapshot)
-            if to_snapshot is not None
-            else tbl.current_snapshot()
-        )
-        if snap_b is None:
-            return None
-        snap_a = (
-            tbl.read_snapshot_meta(from_snapshot)
-            if from_snapshot is not None
-            else None
-        )
-        key = tbl.key_col
-        schema = schema_for_version(self.registry, snap_b.schema_version)
-        payload_cols = [
-            f for f in schema.fieldNames() if f not in (key, "warc_ts", "seq")
-        ]
-        payload_types = {f.name: f.dataType for f in schema.fields}
-
-        a_paths = {f.path for f in snap_a.files} if snap_a is not None else set()
-        new_files = [f for f in snap_b.files if f.path not in a_paths]
-        out_cols = [key, CHANGE_TYPE_COL, "warc_ts", "seq", *payload_cols]
-        if not new_files:
-            return self.spark.createDataFrame(
-                [], self.table._physical_schema(snap_b.schema_version)
-            ).withColumn(CHANGE_TYPE_COL, F.lit("")).select(*out_cols).limit(0)
-
-        new_df = tbl._read_files(new_files, snap_b.schema_version)
-        light = new_df.select(
-            key,
-            "warc_ts",
-            "seq",
-            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias("__del"),
-        )
-        # winner among the window's rows per key: map-side partial agg
-        # over ~25-byte tuples (seq is unique, so the struct max is a
-        # total order; __del rides along on the winning row)
-        cand = (
-            light.groupBy(key)
-            .agg(F.max(F.struct("warc_ts", "seq", "__del")).alias("__v"))
-            .select(
-                key,
-                F.col("__v.warc_ts").alias("warc_ts"),
-                F.col("__v.seq").alias("seq"),
-                F.col("__v.__del").alias("__del"),
-            )
-        )
-        if snap_a is not None:
-            # A's winners INCLUDING tombstones: a late upsert in the
-            # window must lose to a higher-versioned pre-existing
-            # tombstone, so the version race runs against A's winner
-            # whatever its kind; liveness classifies separately below
-            a_state = tbl.read(snapshot_id=from_snapshot)
-            a_all = a_state.select(
-                key,
-                F.col("warc_ts").alias("__a_warc_ts"),
-                F.col("seq").alias("__a_seq"),
-                F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias("__a_del"),
-            )
-            j = cand.join(a_all, on=key, how="left")
-        else:
-            j = (
-                cand.withColumn("__a_warc_ts", F.lit(None).cast("timestamp"))
-                .withColumn("__a_seq", F.lit(None).cast("long"))
-                .withColumn("__a_del", F.lit(False))
-            )
-        in_a = F.col("__a_seq").isNotNull() & ~F.col("__a_del")
-        cand_version = F.struct(
-            F.col("warc_ts").alias("ts"), F.col("seq").alias("s")
-        )
-        a_version = F.struct(
-            F.col("__a_warc_ts").alias("ts"), F.col("__a_seq").alias("s")
-        )
-        # a candidate changes state B only if it BEATS the key's A
-        # winner (live row OR tombstone); version-equal candidates are
-        # compaction rewrites (no change), version-lower candidates are
-        # late data that lost the LWW race
-        changed = j.filter(F.col("__a_seq").isNull() | (cand_version > a_version))
-        upserts = (
-            changed.filter(~F.col("__del"))
-            .withColumn(
-                CHANGE_TYPE_COL,
-                F.when(in_a, F.lit("update_postimage")).otherwise(F.lit("insert")),
-            )
-            .select(key, CHANGE_TYPE_COL, "warc_ts", "seq")
-            .join(new_df.select("seq", *payload_cols), on="seq", how="inner")
-            .select(*out_cols)
-        )
-        deletes = changed.filter(F.col("__del") & in_a).select(
-            key,
-            F.lit("delete").alias(CHANGE_TYPE_COL),
-            "warc_ts",
-            "seq",
-            *[F.lit(None).cast(payload_types[c]).alias(c) for c in payload_cols],
-        )
-        return upserts.unionByName(deletes)
+        return table_changes(self.table, self.registry, from_snapshot, to_snapshot)
 
     def read_lineage(self) -> DataFrame | None:
         if not os.listdir(self.lineage_root):

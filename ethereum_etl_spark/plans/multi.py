@@ -366,3 +366,42 @@ class MultiTableEngine:
         if df is None:
             return None
         return df.drop(BUCKET_COL, TOMBSTONE_COL)
+
+    def changes_pages(
+        self, from_snapshot: str | None, to_snapshot: str | None = None
+    ) -> DataFrame | None:
+        """Incremental change feed over the fan-out ``pages`` member —
+        the same manifest-diff path as the single-table engine (work ∝
+        rows written in the window). Snapshot ids come from the group
+        ledger's per-epoch ``tables["pages"]`` entries."""
+        from ethereum_etl_spark.operators.changes import table_changes
+
+        return table_changes(
+            self.pages, self.pages_registry, from_snapshot, to_snapshot
+        )
+
+    def changes_hosts(
+        self, from_snapshot: str | None, to_snapshot: str | None = None
+    ) -> DataFrame | None:
+        """Net changes of the ``host_stats`` dim between two snapshots.
+
+        The dim is an aggregate (no per-row version), so this is the
+        generic ``state_diff`` over the two time-travel reads compared
+        on ALL value columns — cost ∝ dim size, the honest bound for a
+        versionless state. Rows whose aggregate values are unchanged
+        emit nothing even if their bucket was rewritten in the window.
+        """
+        from ethereum_etl_spark.operators.changes import state_diff
+
+        def _read(sid):
+            df = self.hosts.read(snapshot_id=sid)
+            return None if df is None else df.drop(BUCKET_COL, TOMBSTONE_COL)
+
+        b = _read(to_snapshot) if to_snapshot is not None else self.read_hosts()
+        if b is None:
+            return None
+        a = _read(from_snapshot) if from_snapshot is not None else None
+        value_cols = [c for c in b.columns if c != "host"]
+        return state_diff(
+            a, b, key_cols=("host",), version_cols=value_cols, payload_cols=value_cols
+        )

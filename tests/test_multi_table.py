@@ -210,3 +210,52 @@ def test_host_stats_touched_bucket_carryover(spark, tmp_path):
     # and the merged dim is still exact
     wal_pdf = spark.read.parquet(wal).toPandas()
     pd.testing.assert_frame_equal(_hosts_pdf(eng2), _expected_hosts(wal_pdf), check_dtype=False)
+
+
+def test_multi_table_change_feeds(spark, tmp_path):
+    """pages: manifest-diff LWW feed equals the brute-force snapshot
+    diff; host_stats: value-compare state_diff emits exactly the hosts
+    whose aggregates moved in the window (touched-but-unchanged bucket
+    rewrites emit nothing)."""
+    wal = _mk_wal(spark, tmp_path)
+    eng = MultiTableEngine(spark, wal, str(tmp_path / "multi"), epoch_size=1_000)
+    results = eng.run()
+    snaps_a, snaps_b = results[0].snapshots, results[-1].snapshots
+
+    # --- pages (LWW feed) ---
+    a = (
+        eng.pages.read(snapshot_id=snaps_a["pages"])
+        .filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        .toPandas().set_index("url")
+    )
+    b = eng.read_pages().toPandas().set_index("url")
+    got = eng.changes_pages(snaps_a["pages"], snaps_b["pages"]).toPandas()
+    exp = {}
+    for url, row in b.iterrows():
+        if url not in a.index:
+            exp[url] = "insert"
+        elif (a.loc[url, "warc_ts"], a.loc[url, "seq"]) != (row["warc_ts"], row["seq"]):
+            exp[url] = "update_postimage"
+    for url in set(a.index) - set(b.index):
+        exp[url] = "delete"
+    assert dict(zip(got["url"], got["change_type"])) == exp
+    assert len(got) == len(exp)
+
+    # --- host_stats (value-compare feed) ---
+    ha = (
+        eng.hosts.read(snapshot_id=snaps_a["host_stats"])
+        .drop("__bucket", "__deleted").toPandas().set_index("host")
+    )
+    hb = eng.read_hosts().toPandas().set_index("host")
+    hgot = eng.changes_hosts(snaps_a["host_stats"], snaps_b["host_stats"]).toPandas()
+    hexp = {}
+    cols = [c for c in hb.columns]
+    for host, row in hb.iterrows():
+        if host not in ha.index:
+            hexp[host] = "insert"
+        elif tuple(ha.loc[host, cols]) != tuple(row[cols]):
+            hexp[host] = "update_postimage"
+    assert dict(zip(hgot["host"], hgot["change_type"])) == hexp
+    # feed must be non-vacuous and strictly smaller than the dim when
+    # some host's counts were already final by the first epoch
+    assert 0 < len(hgot) <= len(hb)
