@@ -149,6 +149,27 @@ def q_cdc_changes(spark, sf_dir):
     return out.select("user_id", "change_type", "event_id", "value")
 
 
+def q_interval_join(spark, sf_dir):
+    """Bucketed range join: events (point ts) × 200 overlapping
+    maintenance windows (each 600s, every 420s — ~43% of events match
+    two windows). Spark's native plan for a pure range predicate is
+    BroadcastNestedLoopJoin (O(L·R)); interval_join turns it into a
+    hash equi-join on overlapping 300s time buckets + an exact filter —
+    work ∝ bucket collisions, parallel across buckets (the Databricks
+    range-join-bin / PostGIS grid-join shape)."""
+    from ethereum_etl_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    t0s = ev.agg(F.unix_timestamp(F.min("ts")).alias("t0")).collect()[0]["t0"]
+    intervals = spark.range(200).select(
+        F.col("id").cast("long").alias("interval_id"),
+        F.timestamp_seconds(F.lit(t0s) + F.col("id") * 420).alias("w_start"),
+        F.timestamp_seconds(F.lit(t0s) + F.col("id") * 420 + 600).alias("w_end"),
+    )
+    out = interval_join(ev, intervals, "ts", "w_start", "w_end", bucket_width_s=300)
+    return out.select("event_id", "interval_id")
+
+
 def q_merge_upsert(spark, sf_dir):
     """MERGE INTO semantics (S6/J6): target = LWW state of even event_ids,
     source batch = LWW state of odd event_ids; version-guarded upsert."""
@@ -608,6 +629,18 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by content hash
+    (md5 top-32-bits → uniform → cumulative thresholds): reproducible
+    across runs/engines/partitionings, no leakage on corpus rebuilds.
+    Zero-shuffle JVM column work."""
+    from ethereum_etl_spark.functions.sampling import hash_split, stable_uniform
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, "text", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r3")
+    return out.select("doc_id", "split", stable_uniform("text", "r3").alias("u"))
+
+
 def q_token_stats(spark, sf_dir):
     from ethereum_etl_spark.functions.textstats import token_count
 
@@ -986,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_salted": q_lww_salted,
         "cdc_final_state": q_cdc_final_state,
         "cdc_changes": q_cdc_changes,
+        "interval_join": q_interval_join,
         "merge_upsert": q_merge_upsert,
         "retention_keep3": q_retention_keep3,
         "distinct_users": q_distinct_users,
@@ -1026,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "token_stats": q_token_stats,
         "repetition_stats": q_repetition_stats,
+        "hash_split": q_hash_split,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "jaccard_unigram_pairs": q_jaccard_unigram_pairs,
@@ -1118,6 +1153,17 @@ def oracle_sql() -> dict[str, str]:
             FROM b_state b FULL OUTER JOIN a_state a ON a.user_id = b.user_id
             WHERE a.user_id IS NULL OR b.user_id IS NULL
                OR (a.ts, a.event_id) <> (b.ts, b.event_id)
+        """,
+        "interval_join": """
+            WITH base AS (SELECT date_trunc('second', min(ts)) AS t0 FROM events),
+                 iv AS (SELECT CAST(i AS BIGINT) AS interval_id,
+                               t0 + i * (INTERVAL 420 SECOND) AS w_start,
+                               t0 + i * (INTERVAL 420 SECOND)
+                                  + INTERVAL 600 SECOND AS w_end
+                        FROM range(200) r(i), base)
+            SELECT e.event_id, iv.interval_id
+            FROM events e JOIN iv
+              ON e.ts BETWEEN iv.w_start AND iv.w_end
         """,
         "merge_upsert": """
             WITH t AS (SELECT user_id, event_id, ts, event_type, value FROM (
@@ -1445,6 +1491,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
                    len(text) AS n_chars_calc
             FROM documents
+        """,
+        "hash_split": """
+            WITH h AS (SELECT doc_id,
+                              CAST(('0x' || substr(md5(text || 'r3'), 1, 8)) AS BIGINT)
+                                  / 4294967296.0 AS u
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   u
+            FROM h
         """,
         "repetition_stats": r"""
             WITH d AS (

@@ -1,0 +1,71 @@
+"""Bucketed interval join: equivalence with the naive range join and
+the plan-shape guarantee (no BroadcastNestedLoopJoin / cartesian)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.operators.rangejoin import interval_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=37 * i + (i % 3) * 0.25)) for i in range(400)],
+        ["point_id", "ts"],
+    )
+    # overlapping, irregular intervals; some cover nothing
+    iv = spark.createDataFrame(
+        [
+            (
+                j,
+                t0 + dt.timedelta(seconds=300 * j - 100),
+                t0 + dt.timedelta(seconds=300 * j + 450),
+            )
+            for j in range(60)
+        ],
+        ["interval_id", "w_start", "w_end"],
+    )
+    return pts, iv
+
+
+def _naive(pts, iv):
+    return (
+        pts.crossJoin(iv)
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")))
+        .select("point_id", "interval_id")
+    )
+
+
+@pytest.mark.parametrize("width", [60, 300, 900])
+def test_matches_naive_at_any_bucket_width(spark, frames, width):
+    pts, iv = frames
+    got = interval_join(pts, iv, "ts", "w_start", "w_end", bucket_width_s=width)
+    exp = set(map(tuple, _naive(pts, iv).collect()))
+    assert set(map(tuple, got.select("point_id", "interval_id").collect())) == exp
+    assert len(exp) > 400  # overlap: more matches than points
+
+
+def test_left_join_keeps_unmatched(spark, frames):
+    pts, iv = frames
+    # shift intervals so early points are uncovered
+    iv_late = iv.filter(F.col("interval_id") >= 30)
+    got = interval_join(pts, iv_late, "ts", "w_start", "w_end", how="left")
+    assert got.count() >= pts.count()
+    unmatched = got.filter(F.col("interval_id").isNull())
+    assert unmatched.count() > 0
+    matched_ids = {r["point_id"] for r in _naive(pts, iv_late).collect()}
+    assert {r["point_id"] for r in unmatched.collect()} == (
+        {r["point_id"] for r in pts.collect()} - matched_ids
+    )
+
+
+def test_plan_has_no_nested_loop(spark, frames):
+    pts, iv = frames
+    plan = interval_join(
+        pts, iv, "ts", "w_start", "w_end", bucket_width_s=300
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
