@@ -641,6 +641,42 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split", stable_uniform("text", "r3").alias("u"))
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (webtext key normalization): scheme/host
+    lowercase, default-port strip, fragment drop, empty-path -> '/',
+    bytewise query-param sort. Input URLs are synthesized
+    deterministically from doc_id (fixtures carry no url column) with
+    every messy variant exercised. Pure JVM regexp/array expressions —
+    rides the scan projection at any scale."""
+    from ethereum_etl_spark.functions.urlnorm import (
+        canonical_url,
+        registered_domain,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("HTTP")),
+        F.lit("://WWW.Example"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit(":80"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Path/"), F.col("doc_id").cast("string"))),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?b=2&a=1&c="), (F.col("doc_id") % 5).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        canonical_url(messy).alias("url_canon"),
+        registered_domain(url_host(messy)).alias("domain"),
+    )
+
+
 def q_token_stats(spark, sf_dir):
     from ethereum_etl_spark.functions.textstats import token_count
 
@@ -1061,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "repetition_stats": q_repetition_stats,
         "hash_split": q_hash_split,
+        "url_canonical": q_url_canonical,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "jaccard_unigram_pairs": q_jaccard_unigram_pairs,
@@ -1503,6 +1540,43 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    u
             FROM h
+        """,
+        "url_canonical": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+                       || '://WWW.Example' || (doc_id % 40) || '.COM'
+                       || (CASE WHEN doc_id % 4 = 0
+                                THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+                                ELSE '' END)
+                       || (CASE WHEN doc_id % 7 = 0 THEN '' ELSE '/Path/' || doc_id END)
+                       || (CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1&c=' || (doc_id % 5) ELSE '' END)
+                       || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS u
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, u,
+                       lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                       regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+                       regexp_extract(u, '^[^#]*\?([^#]*)', 1) AS q
+                FROM m
+            ), norm AS (
+                SELECT doc_id, scheme,
+                       CASE scheme
+                            WHEN 'http' THEN regexp_replace(hostport, ':80$', '')
+                            WHEN 'https' THEN regexp_replace(hostport, ':443$', '')
+                            ELSE hostport END AS host,
+                       CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                       CASE WHEN q = '' THEN ''
+                            ELSE array_to_string(list_sort(string_split(q, '&')), '&') END AS qs
+                FROM parts
+            )
+            SELECT doc_id,
+                   scheme || '://' || host || path
+                   || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS url_canon,
+                   CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                        ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+            FROM norm
         """,
         "repetition_stats": r"""
             WITH d AS (

@@ -43,7 +43,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "6000000"))
 CDC_URLS = int(os.environ.get("BENCH_CDC_URLS", "1200000"))
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "4"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "5"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))  # N vs 4N
 #: timed apply passes per pinned subprocess (see apply_once docstring)
 APPLY_PASSES = int(os.environ.get("BENCH_APPLY_PASSES", "2"))
@@ -211,7 +211,7 @@ def apply_once(cores: int, scratch: str, tag: str) -> list[float]:
     spark = make_spark(cores, f"bench-cdc-{tag}", local_dir, worker_reuse=True)
     warm_tbl = os.path.join(scratch, f"warm_{tag}")
     shutil.rmtree(warm_tbl, ignore_errors=True)
-    persist_light = os.environ.get("BENCH_PERSIST_LIGHT", "1") == "1"
+    persist_light = os.environ.get("BENCH_PERSIST_LIGHT", "0") == "1"
     CDCEngine(
         spark, wal, warm_tbl,
         config=EngineConfig(epoch_size=100_000, n_buckets=64, table_mode="mor",

@@ -106,10 +106,16 @@ class EngineConfig:
     skew_min_events: int = 10_000  # don't bother probing tiny epochs
     skew_reprobe_every: int = 8  # epochs between fresh skew probes
     #: cache the payload-free (seq,url,warc_ts,op) projection across the
-    #: 2-3 jobs that read it. True trades memory traffic (materialize ~
-    #: 100B/event once) for repeated pruned parquet scans; at very wide
-    #: epochs the re-scan can be cheaper than the cache round-trip.
-    persist_light: bool = True
+    #: 2-3 jobs that read it. False (default) re-runs the pruned parquet
+    #: scan per job: an interleaved pinned A/B at 6M events measured the
+    #: re-scan CHEAPER than the cache round-trip at both 1 and 4 cores
+    #: (n1 111.6s vs 122.1s, n4 29.8s vs 39.7s) — materializing ~100
+    #: B/event into storage memory costs more memory bandwidth than
+    #: decoding 4 narrow snappy columns again, and memory bandwidth is
+    #: the apply pipeline's binding resource. Set True only when the WAL
+    #: scan itself is expensive (e.g. remote object storage, where a
+    #: re-scan pays network instead of local decode).
+    persist_light: bool = False
     broadcast_merge_max_rows: int = 2_000_000  # winners = (key, version) only
     crash_points: set = field(default_factory=set)  # {"after_stage", "after_lineage"}
 

@@ -1,0 +1,68 @@
+"""URL canonicalization: known forms, idempotency, non-URL passthrough."""
+
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.functions.urlnorm import (
+    canonical_url,
+    registered_domain,
+    url_host,
+)
+
+CASES = [
+    # (input, canonical)
+    ("HTTP://WWW.Example.COM:80/Path", "http://www.example.com/Path"),
+    ("https://Example.com:443", "https://example.com/"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    ("http://a.b/p?b=2&a=1&c=3#frag", "http://a.b/p?a=1&b=2&c=3"),
+    ("http://a.b/?", "http://a.b/"),
+    ("http://a.b#only-frag", "http://a.b/"),
+    ("ftp://Host.Example/Dir", "ftp://host.example/Dir"),  # non-http port rule
+    ("not a url at all", "not a url at all"),  # total + passthrough
+    ("", ""),
+]
+
+
+def test_canonical_known_forms(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in CASES]
+
+
+def test_canonical_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) for every case."""
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
+    once = df.select(canonical_url("url").alias("c"))
+    twice = once.select(F.col("c").alias("first"), canonical_url("c").alias("again"))
+    assert all(r["first"] == r["again"] for r in twice.collect())
+
+
+def test_registered_domain(spark):
+    rows = [
+        ("www.example.com", "example.com"),
+        ("a.b.c.example.org", "example.org"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], ["h"])
+    got = [r["d"] for r in df.select(registered_domain("h").alias("d")).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_host_extraction_strips_default_port_only(spark):
+    df = spark.createDataFrame(
+        [("http://H.X:80/p",), ("http://H.X:8080/p",), ("https://H.X:443",)], ["url"]
+    )
+    got = [r["h"] for r in df.select(url_host("url").alias("h")).collect()]
+    assert got == ["h.x", "h.x:8080", "h.x"]
+
+
+def test_plan_stays_in_codegen(spark):
+    """The canonicalization must be pure column expressions: no
+    BatchEvalPython / ArrowEvalPython node in the plan."""
+    df = spark.range(10).select(
+        F.concat(F.lit("http://h/p"), F.col("id").cast("string")).alias("url")
+    )
+    plan = (
+        df.select(canonical_url("url"))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
