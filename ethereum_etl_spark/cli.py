@@ -132,6 +132,19 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--snapshot", default=None,
                     help="time-travel lookup at this committed snapshot")
 
+    si = sub.add_parser("since", help="pages whose CURRENT version is newer "
+                        "than a timestamp, planned from manifest min/max "
+                        "stats: only files whose footer ts_max reaches the "
+                        "bound are read (Iceberg data-skipping analog)")
+    _add_engine_args(si)
+    si.add_argument("--ts", required=True,
+                    help="ISO timestamp or integer epoch-microseconds lower "
+                         "bound (inclusive) on the current version's warc_ts")
+    si.add_argument("--snapshot", default=None,
+                    help="evaluate at this committed snapshot (time travel)")
+    si.add_argument("--out", default=None,
+                    help="write matching rows as parquet here (default: summary only)")
+
     ch = sub.add_parser("changes", help="net row changes between two committed "
                         "snapshots (incremental read / change feed); work is "
                         "proportional to rows written in the window")
@@ -320,6 +333,29 @@ def main(argv: list[str] | None = None) -> int:
             r["warc_ts"] = str(r.get("warc_ts"))
             out["row"] = r
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "since":
+        import datetime as _dt
+
+        raw = args.ts
+        ts_lo = int(raw) if raw.isdigit() else _dt.datetime.fromisoformat(raw)
+        df, scanned, total = engine.table.read_updated_since(
+            ts_lo, snapshot_id=args.snapshot
+        )
+        n = 0
+        if df is not None:
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                df = engine.spark.read.parquet(args.out)
+            n = df.count()
+        print(json.dumps({
+            "ts": str(raw),
+            "rows": n,
+            "files_scanned": scanned,
+            "files_total": total,
+            **({"out": args.out} if args.out else {}),
+        }))
         return 0
 
     if args.cmd == "changes":

@@ -126,6 +126,39 @@ class AppendLog:
         self._entries.append(entry)
 
 
+def _footer_ts_bounds(md, col: str = "warc_ts") -> tuple[int | None, int | None]:
+    """(min, max) of a timestamp column in epoch microseconds, from an
+    already-read parquet footer — zero extra IO. Returns (None, None)
+    when the column is absent or any row group lacks min/max stats
+    (absent stats mean "unknown", and an unknown row group makes the
+    whole file unknown: stats must only ever WIDEN, never narrow)."""
+    import datetime as _dt
+
+    def _us(v) -> int:
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return (v - epoch) // _dt.timedelta(microseconds=1)
+        return int(v)
+
+    try:
+        idx = md.schema.names.index(col)
+    except ValueError:
+        return None, None
+    lo: int | None = None
+    hi: int | None = None
+    try:
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None, None
+            mn, mx = _us(st.min), _us(st.max)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    except (TypeError, ValueError, OverflowError):
+        return None, None
+    return lo, hi
+
+
 def group_of_bucket(bucket: int, n_groups: int) -> int:
     """Compaction group a base bucket belongs to (modulo mapping)."""
     return bucket % n_groups
@@ -147,6 +180,13 @@ class DataFile:
     #: compaction rewrites one group (≈ table/n_groups) at a time instead
     #: of the whole table. -1 = base file or legacy spanning delta.
     group: int = -1
+    #: version-column (warc_ts) bounds in epoch MICROSECONDS, lifted from
+    #: the parquet footer at register time (the Iceberg per-file
+    #: lower/upper-bounds analog). None = unknown (legacy manifest, or a
+    #: table whose schema has no warc_ts) — readers must treat None as
+    #: "could contain anything" and never skip such a file.
+    ts_min: int | None = None
+    ts_max: int | None = None
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -446,6 +486,61 @@ class SnapshotTable:
         df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         return df.drop(TOMBSTONE_COL, BUCKET_COL), len(files), len(snap.files)
 
+    def read_updated_since(
+        self, ts_lo, snapshot_id: str | None = None
+    ) -> tuple[DataFrame | None, int, int]:
+        """Final-state rows whose CURRENT version has ``warc_ts >= ts_lo``
+        — "pages updated since T" — planned from only the files whose
+        footer ``ts_max >= ts_lo`` (manifest min/max pruning, the Iceberg
+        lower/upper-bounds data-skipping analog).
+
+        Returns (rows or None, files_scanned, files_total).
+
+        Correctness under LWW: a key's global winner is its max
+        ``(warc_ts, seq)`` row. If that winner has ``warc_ts >= ts_lo``
+        it physically lives in a file whose ``ts_max >= warc_ts >=
+        ts_lo``, i.e. inside the pruned set — so the winner computed
+        WITHIN the pruned set equals the global winner for every key the
+        final filter keeps. A key whose pruned-set max is older than its
+        true winner is harmless: its true winner then also sits in the
+        pruned set (see above) unless it is ``< ts_lo``, in which case
+        the final ``warc_ts >= ts_lo`` filter drops the key entirely.
+        Skipped files can therefore never change the answer. Files with
+        unknown bounds (None) are always read.
+
+        On an ingest-ordered CDC table (warc_ts correlated with seq,
+        the crawl-replay shape) cost is ∝ data written since ts_lo, not
+        table size — the incremental-consumer read path, complementing
+        ``changes()`` (which is epoch-addressed; this is time-addressed).
+        """
+        import datetime as _dt
+
+        if isinstance(ts_lo, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=ts_lo.tzinfo)
+            ts_lo_us = (ts_lo - epoch) // _dt.timedelta(microseconds=1)
+            ts_lo_lit = F.lit(ts_lo)
+        else:
+            ts_lo_us = int(ts_lo)
+            ts_lo_lit = F.timestamp_micros(F.lit(ts_lo_us))
+        snap = (
+            self.read_snapshot_meta(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        if snap is None:
+            return None, 0, 0
+        files = [
+            f for f in snap.files if f.ts_max is None or f.ts_max >= ts_lo_us
+        ]
+        if not files:
+            return None, 0, len(snap.files)
+        df = self._read_files(files, snap.schema_version)
+        if any(f.kind == "delta" for f in files):
+            df = self._collapse_payload_light(df)
+        df = df.filter(F.col("warc_ts") >= ts_lo_lit)
+        df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        return df.drop(TOMBSTONE_COL, BUCKET_COL), len(files), len(snap.files)
+
     def read_buckets(
         self, buckets: set[int], to_version: int
     ) -> tuple[DataFrame | None, list[DataFile], int]:
@@ -522,13 +617,17 @@ class SnapshotTable:
         ]
 
         def _one(full: str) -> DataFile:
+            md = pq.read_metadata(full)
+            ts_min, ts_max = _footer_ts_bounds(md)
             return DataFile(
                 path=os.path.relpath(full, self.root),
                 bucket=-1,
                 schema_version=schema_version,
-                rows=pq.read_metadata(full).num_rows,
+                rows=md.num_rows,
                 bytes=os.path.getsize(full),
                 kind="delta",
+                ts_min=ts_min,
+                ts_max=ts_max,
             )
 
         with ThreadPoolExecutor(max_workers=16) as ex:
@@ -637,14 +736,18 @@ class SnapshotTable:
 
         def _one(item: tuple[str, int]) -> DataFile:
             full, val = item
+            md = pq.read_metadata(full)
+            ts_min, ts_max = _footer_ts_bounds(md)
             return DataFile(
                 path=os.path.relpath(full, self.root),
                 bucket=val if dir_prefix == _BUCKET_DIR else -1,
                 schema_version=schema_version,
-                rows=pq.read_metadata(full).num_rows,
+                rows=md.num_rows,
                 bytes=os.path.getsize(full),
                 kind=kind,
                 group=val if dir_prefix == _GROUP_DIR else -1,
+                ts_min=ts_min,
+                ts_max=ts_max,
             )
 
         # footer reads are tiny IO ops — a serial loop over hundreds of
