@@ -641,6 +641,21 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split", stable_uniform("text", "r3").alias("u"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (corpus rebalancing:
+    downsample the high-resource language, keep the low-resource ones).
+    Pure hash-threshold filter — stable under repartitioning, no RNG
+    state, one codegen'd filter on the scan."""
+    from ethereum_etl_spark.functions.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "text", "lang", {"en": 0.25, "fr": 1.0}, default_fraction=0.5,
+        salt="strat",
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization (webtext key normalization): scheme/host
     lowercase, default-port strip, fragment drop, empty-path -> '/',
@@ -1098,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "hash_split": q_hash_split,
         "url_canonical": q_url_canonical,
+        "stratified_sample": q_stratified_sample,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "jaccard_unigram_pairs": q_jaccard_unigram_pairs,
@@ -1540,6 +1556,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    u
             FROM h
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(text || 'strat'), 1, 8)) AS BIGINT)
+                      / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.25
+                              WHEN 'fr' THEN 1.0
+                              ELSE 0.5 END
         """,
         "url_canonical": r"""
             WITH m AS (

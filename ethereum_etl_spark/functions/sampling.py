@@ -72,3 +72,32 @@ def deterministic_sample(
     """Keep rows whose stable uniform falls below ``fraction`` —
     a reproducible, engine-portable Bernoulli sample keyed on content."""
     return df.filter(stable_uniform(key_col, salt) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing
+    primitive (e.g. keep 100% of low-resource languages, 5% of English).
+
+    ``fractions`` maps stratum value → keep-fraction; strata not listed
+    keep ``default_fraction``. Unlike ``df.sampleBy`` this is stable
+    under repartitioning/retries and reproducible across engines (pure
+    hash threshold, no RNG state), and it never shuffles: the stratum
+    fraction is resolved with an inline CASE over broadcast-small
+    literals, so the whole operator is one codegen'd filter on the scan.
+    """
+    u = stable_uniform(key_col, salt)
+    thr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        thr = F.when(cond, float(frac)) if thr is None else thr.when(cond, float(frac))
+    thr = F.lit(float(default_fraction)) if thr is None else thr.otherwise(
+        float(default_fraction)
+    )
+    return df.filter(u < thr)

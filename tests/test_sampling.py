@@ -49,3 +49,37 @@ def test_uniform_range(spark):
     us = [r["u"] for r in d.select(stable_uniform("text").alias("u")).collect()]
     assert all(0.0 <= u < 1.0 for u in us)
     assert len(set(us)) == 500
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    from ethereum_etl_spark.functions.sampling import stratified_sample
+
+    d = _docs(spark, 3000).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, "en")
+        .when(F.col("doc_id") % 3 == 1, "fr")
+        .otherwise("de"),
+    )
+    out = stratified_sample(d, "text", "lang", {"en": 0.2, "fr": 1.0}, 0.5)
+    rates = {
+        r["lang"]: r["n"] / 1000
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(rates["en"] - 0.2) < 0.05
+    assert rates["fr"] == 1.0  # keep-all stratum keeps every row
+    assert abs(rates["de"] - 0.5) < 0.05  # default fraction
+    # deterministic: same call yields the identical row set
+    again = {r["doc_id"] for r in stratified_sample(
+        d, "text", "lang", {"en": 0.2, "fr": 1.0}, 0.5).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
+
+
+def test_stratified_sample_stays_in_codegen(spark):
+    from ethereum_etl_spark.functions.sampling import stratified_sample
+
+    d = _docs(spark, 10).withColumn("lang", F.lit("en"))
+    plan = (
+        stratified_sample(d, "text", "lang", {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
