@@ -35,6 +35,13 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                         '{"schema_version": int, "effective_seq": int, '
                         '"change": {...}} objects (north rule: registry-'
                         "driven schema-update DDL)")
+    p.add_argument("--audits", default=None, metavar="PATH",
+                   help="JSON file with write-audit-publish constraints "
+                        "evaluated over each epoch's STAGED files before "
+                        "commit: a list of {\"check\": max_rows|min_rows|"
+                        "max_null_frac|not_null|max_tombstone_frac, "
+                        "[\"column\": c,] [\"limit\": x]} objects; a "
+                        "violating epoch publishes nothing (exit 3)")
 
 
 def _load_registry(path: str | None):
@@ -55,11 +62,16 @@ def _build_engine(args):
     from ethereum_etl_spark.session import get_spark
 
     spark = get_spark(cores=args.cores)
+    audits = []
+    if getattr(args, "audits", None):
+        with open(args.audits) as f:
+            audits = json.load(f)
     cfg = EngineConfig(
         epoch_size=args.epoch_size,
         n_buckets=args.n_buckets,
         lww_method=args.lww_method,
         n_salt=args.n_salt,
+        audits=audits,
     )
     registry = _load_registry(args.schema_changes)
     if registry is not None:
@@ -204,8 +216,19 @@ def main(argv: list[str] | None = None) -> int:
     engine = _build_engine(args)
 
     if args.cmd == "apply":
+        from ethereum_etl_spark.plans.engine import AuditError
+
         t0 = time.time()
-        results = engine.run()
+        try:
+            results = engine.run()
+        except AuditError as exc:
+            print(json.dumps({
+                "error": "audit_failed",
+                "epoch": exc.epoch_id,
+                "failures": exc.failures,
+                "high_watermark": engine.table.high_watermark(),
+            }))
+            return 3
         n = sum(r.n_events for r in results)
         dt = time.time() - t0
         print(json.dumps({

@@ -51,6 +51,19 @@ from ethereum_etl_spark.schemas import (
 )
 
 
+class AuditError(RuntimeError):
+    """Write-audit-publish rejection: the staged epoch violated a
+    declared data-quality constraint, so NOTHING was committed — the
+    staged files exist but no manifest or ledger entry references them
+    (invisible, same posture as a crash between stage and commit).
+    Re-running after fixing the feed re-stages the epoch from the WAL."""
+
+    def __init__(self, epoch_id: int, failures: list[dict]):
+        self.epoch_id = epoch_id
+        self.failures = failures
+        super().__init__(f"epoch {epoch_id} failed audits: {failures}")
+
+
 class InjectedCrash(RuntimeError):
     """Raised by test-configured crash points (fault injection)."""
 
@@ -117,6 +130,18 @@ class EngineConfig:
     #: re-scan pays network instead of local decode).
     persist_light: bool = False
     broadcast_merge_max_rows: int = 2_000_000  # winners = (key, version) only
+    #: write-audit-publish gates, evaluated over the STAGED files (what
+    #: would be published, after extract/merge) between stage and commit.
+    #: Declarative dicts so the CLI can load them from JSON:
+    #:   {"check": "max_rows"|"min_rows", "limit": n}
+    #:   {"check": "max_null_frac", "column": c, "limit": f}   (live rows)
+    #:   {"check": "not_null", "column": c}                    (shorthand)
+    #:   {"check": "max_tombstone_frac", "limit": f}
+    #: Any violation raises AuditError and the epoch publishes nothing —
+    #: the Iceberg WAP workflow. Row counts come from footers (zero IO);
+    #: null/tombstone fractions cost ONE pruned scan of the staged files
+    #: over just the audited columns.
+    audits: list = field(default_factory=list)
     crash_points: set = field(default_factory=set)  # {"after_stage", "after_lineage"}
 
 
@@ -442,6 +467,11 @@ class CDCEngine:
                 )
             timer.mark("merge+stage write")
             self._maybe_crash("after_stage")
+            if cfg.audits:
+                failures = self._run_audits(new_files, version, cfg.audits)
+                timer.mark("audit")
+                if failures:
+                    raise AuditError(epoch_id, failures)
             self._write_lineage(epoch_id, lineage, snapshot_id, n_events)
             timer.mark("lineage write")
             self._maybe_crash("after_lineage")
@@ -480,6 +510,54 @@ class CDCEngine:
                 )
                 timer.mark(f"compaction ({len(deep)} groups)")
         return EpochResult(epoch_id, lo, hi, n_events, n_keys, snapshot_id)
+
+    def _run_audits(self, new_files: list, version: int, audits: list) -> list[dict]:
+        """Evaluate WAP constraints over the staged (not yet published)
+        files. Count checks read manifests only; all column checks share
+        ONE aggregation job over a column-pruned scan of the staged
+        files (Catalyst pushes the ReadSchema down, so the audit reads
+        the audited columns, not the payload)."""
+        failures: list[dict] = []
+        n_rows = sum(f.rows for f in new_files)
+        col_checks: list[dict] = []
+        for a in audits:
+            check = a["check"]
+            if check == "max_rows":
+                if n_rows > a["limit"]:
+                    failures.append({**a, "actual": n_rows})
+            elif check == "min_rows":
+                if n_rows < a["limit"]:
+                    failures.append({**a, "actual": n_rows})
+            elif check in ("max_null_frac", "not_null", "max_tombstone_frac"):
+                col_checks.append(a)
+            else:
+                raise ValueError(f"unknown audit check: {check!r}")
+        if not col_checks or n_rows == 0:
+            return failures
+        from ethereum_etl_spark.operators.snapshot_table import TOMBSTONE_COL
+
+        live = ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        aggs, metas = [], []
+        for i, a in enumerate(col_checks):
+            if a["check"] == "max_tombstone_frac":
+                expr = F.avg((~live).cast("double"))
+                limit = float(a["limit"])
+            else:
+                # null fraction among LIVE rows only: deletes carry null
+                # payload by design and must not trip the gate
+                expr = F.avg(
+                    F.when(live, F.col(a["column"]).isNull().cast("double"))
+                )
+                limit = 0.0 if a["check"] == "not_null" else float(a["limit"])
+            aggs.append(expr.alias(f"a{i}"))
+            metas.append((a, limit))
+        staged = self.table._read_files(new_files, version)
+        row = staged.agg(*aggs).collect()[0]
+        for i, (a, limit) in enumerate(metas):
+            actual = row[f"a{i}"]
+            if actual is not None and actual > limit:
+                failures.append({**a, "actual": round(actual, 6)})
+        return failures
 
     def _write_lineage(
         self, epoch_id: int, files: list, snapshot_id: str, n_events: int
