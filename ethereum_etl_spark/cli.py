@@ -144,6 +144,16 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--snapshot", default=None,
                     help="time-travel lookup at this committed snapshot")
 
+    v = sub.add_parser("vacuum", help="delete orphan data files (aborted "
+                       "stages / failed audit gates) referenced by no "
+                       "manifest; committed snapshots and time travel "
+                       "are untouched")
+    _add_engine_args(v)
+    v.add_argument("--older-than-s", type=float, default=3600.0,
+                   help="safety grace: only files older than this are "
+                        "candidates (0 = everything; only safe with no "
+                        "writer running)")
+
     si = sub.add_parser("since", help="pages whose CURRENT version is newer "
                         "than a timestamp, planned from manifest min/max "
                         "stats: only files whose footer ts_max reaches the "
@@ -356,6 +366,14 @@ def main(argv: list[str] | None = None) -> int:
             r["warc_ts"] = str(r.get("warc_ts"))
             out["row"] = r
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "vacuum":
+        n = engine.table.vacuum_orphans(older_than_s=args.older_than_s)
+        print(json.dumps({
+            "orphans_deleted": n,
+            "high_watermark": engine.table.high_watermark(),
+        }))
         return 0
 
     if args.cmd == "since":

@@ -862,6 +862,44 @@ class SnapshotTable:
             }
         )
 
+    def vacuum_orphans(self, older_than_s: float = 3600.0) -> int:
+        """Delete data files referenced by NO manifest at all — the
+        residue of aborted publishes (crash between stage and commit,
+        failed write-audit gates). Non-destructive: every committed
+        snapshot keeps its files, so time travel is unaffected (contrast
+        ``expire_snapshots``, which trades old snapshots for space).
+
+        ``older_than_s`` is the safety grace: a staged-but-not-yet-
+        committed epoch's files are also unreferenced for a moment, so
+        only files older than the grace period are candidates — run
+        vacuum with the default while a tailer is live, or with 0 only
+        when no writer is running. Iceberg's remove_orphan_files has the
+        identical contract (default 3-day grace). Returns files deleted.
+        """
+        referenced: set[str] = set()
+        man_dir = os.path.join(self.root, "manifests")
+        for fn in os.listdir(man_dir):
+            if fn.startswith("manifest-") and fn.endswith(".json"):
+                sid = fn[len("manifest-"):-len(".json")]
+                referenced.update(f.path for f in self.read_snapshot_meta(sid).files)
+        cutoff = time.time() - older_than_s
+        deleted = 0
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if (
+                    fn.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(full) < cutoff
+                ):
+                    os.remove(full)
+                    deleted += 1
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return deleted
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by expired snapshots
         (retention analog — reference free_space/reclaim_space,

@@ -89,3 +89,47 @@ def test_unknown_check_rejected(spark, wal, tmp_path):
                   audits=[{"check": "nope", "limit": 1}])
     with pytest.raises(ValueError):
         eng.run()
+
+
+def test_vacuum_removes_audit_orphans_only(spark, wal, tmp_path):
+    """A failed-audit stage leaves unreferenced files; vacuum removes
+    exactly those, leaving every committed snapshot's files and the
+    table state intact."""
+    import glob
+    import os
+
+    table = str(tmp_path / "t")
+    # commit one clean epoch first
+    eng = _engine(spark, wal, table, audits=[])
+    eng.config.epoch_size = 4_000
+    eng.run()
+    before = eng.read_table().count()
+    n_files_before = len(glob.glob(os.path.join(table, "data", "**", "*.parquet"),
+                                   recursive=True))
+
+    # an audit-rejected apply on a separate table: stage then abort
+    aborted = str(tmp_path / "aborted")
+    eng2 = _engine(spark, wal, aborted, audits=[{"check": "min_rows", "limit": 10**9}])
+    with pytest.raises(AuditError):
+        eng2.run()
+    orphan_files = glob.glob(os.path.join(aborted, "data", "**", "*.parquet"),
+                             recursive=True)
+    assert orphan_files, "failed audit must leave staged files behind"
+
+    assert eng.table.vacuum_orphans(older_than_s=0) == 0  # clean table: no-op
+    n = eng2.table.vacuum_orphans(older_than_s=0)
+    assert n == len(orphan_files)
+    assert not glob.glob(os.path.join(aborted, "data", "**", "*.parquet"),
+                         recursive=True)
+
+    # grace period protects young files: restage and vacuum with 1h grace
+    eng3 = _engine(spark, wal, aborted, audits=[{"check": "min_rows", "limit": 10**9}])
+    with pytest.raises(AuditError):
+        eng3.run()
+    assert eng3.table.vacuum_orphans(older_than_s=3600) == 0
+
+    # committed table unchanged throughout
+    assert eng.read_table().count() == before
+    n_files_after = len(glob.glob(os.path.join(table, "data", "**", "*.parquet"),
+                                  recursive=True))
+    assert n_files_after == n_files_before
