@@ -121,6 +121,32 @@ def q_cdc_final_state(spark, sf_dir):
     return win.filter(F.col("op") != "delete").select("user_id", "event_id", "value")
 
 
+def q_cdc_updated_since(spark, sf_dir):
+    """Time-addressed incremental read semantics (read_updated_since):
+    final LWW state restricted to keys whose CURRENT version is newer
+    than a bound (here: the top 1% of the event-time range — keeps half the keys at sf0.01, so the filter genuinely discriminates, integer
+    microsecond arithmetic so both engines compute the identical
+    threshold). The engine-side analog plans only manifest files with
+    ts_max >= bound (tests/test_updated_since.py proves the pruning);
+    this row proves the SEMANTICS against SQL."""
+    from ethereum_etl_spark.operators.lww import lww_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    b = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("hi"),
+    ).collect()[0]
+    thr = b["lo"] + (b["hi"] - b["lo"]) * 99 // 100
+    win = lww_agg(ev, key_cols=("user_id",), version_cols=("ts", "event_id"))
+    return (
+        win.filter(F.col("op") != "delete")
+        .filter(F.unix_micros(F.col("ts").cast("timestamp")) >= F.lit(thr))
+        .select("user_id", "event_id", "value")
+    )
+
+
 def q_cdc_changes(spark, sf_dir):
     """Change feed between two states (snapshot-to-snapshot incremental
     read): state A = LWW state of the stream's first half (event_id ≤
@@ -1069,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_agg": q_lww_agg,
         "lww_salted": q_lww_salted,
         "cdc_final_state": q_cdc_final_state,
+        "cdc_updated_since": q_cdc_updated_since,
         "cdc_changes": q_cdc_changes,
         "interval_join": q_interval_join,
         "merge_upsert": q_merge_upsert,
@@ -1182,6 +1209,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                           ORDER BY ts DESC, event_id DESC) AS rn FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_updated_since": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                       FROM events),
+                 thr AS (SELECT lo + (hi - lo) * 99 // 100 AS t FROM b)
+            SELECT user_id, event_id, value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn FROM events), thr
+            WHERE rn = 1 AND event_type <> 'error' AND epoch_us(ts) >= thr.t
         """,
         "cdc_changes": """
             WITH k AS (SELECT max(event_id) // 2 AS split FROM events),
