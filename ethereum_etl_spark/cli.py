@@ -9,8 +9,20 @@ Ship the package with::
 Subcommands:
   gen       — synthesize a deterministic WAL        (walgen)
   apply     — historical replay: run all pending epochs  (§3.1 analog)
+              (--audits file.json = write-audit-publish gate, exit 3 on
+              violation with nothing committed)
   tail      — realtime: poll the WAL dir and apply new epochs (§3.2 analog)
-  show      — print table state / ledger / lineage summaries
+  stream    — Structured Streaming front-end (readStream + foreachBatch)
+  show      — table state / ledger summary (--snapshot = VERSION AS OF)
+  lookup    — point read by key, manifest file-skipped
+  since     — rows whose current version is newer than --ts, planned
+              from per-file min/max stats
+  changes   — snapshot-to-snapshot change feed (insert/update/delete)
+  lineage   — per-epoch / per-file lineage rows
+  compact   — collapse MoR delta stacks (+ optional snapshot expiry)
+  vacuum    — delete orphan files of aborted publishes
+  export    — CSV export of current state
+  multi     — one WAL → pages + host_stats, atomic group commit
 """
 
 from __future__ import annotations

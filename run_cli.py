@@ -2,8 +2,8 @@
 
 `spark-submit --py-files dist/ethereum_etl_spark.zip run_cli.py <args>`
 — the zip lands on every executor's PYTHONPATH; this shim just forwards
-to the package CLI (gen / apply / tail / stream / show / lineage /
-compact / export / multi).
+to the package CLI (gen / apply / tail / stream / show / lookup /
+since / changes / lineage / compact / vacuum / export / multi).
 """
 
 import sys
