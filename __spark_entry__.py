@@ -667,6 +667,37 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split", stable_uniform("text", "r3").alias("u"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails → IPs → phones, order is load-bearing:
+    email domains embed dots, dotted quads also match the phone
+    pattern). Input text is synthesized from doc_id so every kind and
+    the no-PII case are exercised; the oracle re-runs the IDENTICAL
+    RE2-compatible patterns in DuckDB and compares the redacted STRING,
+    not just counts. Pure JVM regexp — rides the scan at any scale."""
+    from ethereum_etl_spark.functions.redact import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 5 == 0, F.lit("no pii here, just text")).otherwise(
+        F.concat(
+            F.lit("Contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or call 415-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" from "), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.0."), (F.col("doc_id") % 9).cast("string"),
+            F.lit(" today"),
+        )
+    )
+    d = d.select("doc_id", t.alias("t"))
+    return d.select(
+        "doc_id",
+        redact_pii("t").alias("redacted"),
+        pii_counts("t", "email").alias("n_email"),
+        pii_counts("t", "ip").alias("n_ip"),
+        pii_counts("t", "phone").alias("n_phone"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-language deterministic downsampling (corpus rebalancing:
     downsample the high-resource language, keep the low-resource ones).
@@ -1141,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "url_canonical": q_url_canonical,
         "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "jaccard_unigram_pairs": q_jaccard_unigram_pairs,
@@ -1592,6 +1624,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    u
             FROM h
+        """,
+        "pii_redact": r"""
+            WITH src AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN 'no pii here, just text'
+                            ELSE 'Contact user' || doc_id || '@example'
+                                 || (doc_id % 7) || '.com or call 415-555-'
+                                 || (1000 + doc_id % 9000) || ' from '
+                                 || (doc_id % 256) || '.0.0.' || (doc_id % 9)
+                                 || ' today' END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\+?[0-9][0-9()\ .-]{7,}[0-9]', '<PHONE>', 'g'
+                   ) AS redacted,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(t,
+                       '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ip,
+                   len(regexp_extract_all(t,
+                       '\+?[0-9][0-9()\ .-]{7,}[0-9]')) AS n_phone
+            FROM src
         """,
         "stratified_sample": """
             SELECT doc_id, lang
