@@ -667,6 +667,43 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split", stable_uniform("text", "r3").alias("u"))
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The composed training-data pipeline in one plan: quality filter
+    (C4/Gopher heuristics) → exact dedup (min-id canonical per text
+    group) → deterministic train/val/test split. Input is documents ∪
+    id-shifted duplicates so the dedup stage does real work; identical
+    texts land in the SAME split by construction (hash of content, not
+    id) — the no-leakage property the split stage exists for. One
+    window + one threshold CASE over JVM expressions; the oracle
+    replays every stage in SQL."""
+    from pyspark.sql import Window
+
+    from ethereum_etl_spark.functions.sampling import hash_split
+    from ethereum_etl_spark.functions.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100_000)
+    )
+    # junk docs (no alpha, no stopwords, punctuation-heavy) that the
+    # quality gate must drop — the fixture corpus itself is uniformly
+    # clean, so without these the quality stage couldn't fail
+    junk = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(200_000)).alias("doc_id"),
+        F.concat(
+            F.repeat(F.lit("?!#9 "), 50), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    src = d.unionByName(dups).unionByName(junk)
+    q = quality_features(src).filter(F.col("quality_score") >= 0.75)
+    canon = F.min("doc_id").over(Window.partitionBy(F.xxhash64("text")))
+    keep = q.withColumn("__canon", canon).filter(F.col("doc_id") == F.col("__canon"))
+    out = hash_split(
+        keep, "text", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="cur"
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing (emails → IPs → phones, order is load-bearing:
     email domains embed dots, dotted quads also match the phone
@@ -1173,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
+        "corpus_curation": q_corpus_curation,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "jaccard_unigram_pairs": q_jaccard_unigram_pairs,
@@ -1624,6 +1662,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    u
             FROM h
+        """,
+        "corpus_curation": rf"""
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id,
+                       repeat('?!#9 ', 50) || doc_id AS text
+                FROM documents WHERE doc_id % 11 = 0
+            ), f AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                     len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+                     len(text) - len(regexp_replace(text, '[.,;:!?"''()\[\]{{}}—-]', '', 'g')) AS n_punct,
+                     len(text) AS n_chars,
+                     len(regexp_extract_all(lower(text), '{stop_pat}')) AS n_stop
+              FROM src
+            ), scored AS (
+              SELECT doc_id, text,
+                     (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END
+                      + CASE WHEN n_words > 0 AND n_alpha / n_words BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END
+                      + CASE WHEN n_words > 0 AND n_stop / n_words >= 0.05 THEN 0.25 ELSE 0.0 END
+                      + CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.2 THEN 0.25 ELSE 0.0 END
+                     ) AS q
+              FROM f
+            ), kept AS (
+              SELECT doc_id, text FROM (
+                  SELECT doc_id, text,
+                         min(doc_id) OVER (PARTITION BY text) AS canon
+                  FROM scored WHERE q >= 0.75)
+              WHERE doc_id = canon
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(text || 'cur'), 1, 8)) AS BIGINT)
+                             / 4294967296.0 AS u
+                  FROM kept)
         """,
         "pii_redact": r"""
             WITH src AS (
