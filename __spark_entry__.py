@@ -13,7 +13,8 @@ compare is stable across engines.
 
 Non-SQL-expressible entries (hash-seeded LSH/MinHash/SimHash candidate
 generation, ANN with approximate recall, the snapshot-table CDC replay
-itself) have no oracle — the driver records a rows-only check for
+itself, the zlib compression-ratio signal whose DEFLATE output is
+build-specific) have no oracle — the driver records a rows-only check for
 those, and tests/ assert their semantics against in-repo oracles
 (pandas replay reducer, brute-force pairs). The verified-dedup and
 multimodal-decode surfaces ARE oracle-checked: exact-Jaccard survivors
@@ -667,6 +668,30 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split", stable_uniform("text", "r3").alias("u"))
 
 
+def q_compression_quality(spark, sf_dir):
+    """zlib compression-ratio quality signal (repetition/boilerplate
+    proxy) over documents ∪ injected template spam (one sentence
+    repeated 40×, which must compress below the 0.3 flag line while
+    prose stays above). Arrow pandas-UDF path; zlib output is build-
+    specific, so this is a declared rows-only entry — the value is
+    unit-oracled against direct zlib in tests/test_textstats_multimodal.py."""
+    from ethereum_etl_spark.functions.textstats import compression_ratio
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spam = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(300_000)).alias("doc_id"),
+        F.concat(
+            F.repeat(F.lit("click here to win a free prize now. "), 40),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    src = d.unionByName(spam)
+    return src.select(
+        "doc_id",
+        compression_ratio("text").alias("comp_ratio"),
+    ).withColumn("is_repetitive", F.col("comp_ratio") < 0.3)
+
+
 def q_corpus_curation(spark, sf_dir):
     """The composed training-data pipeline in one plan: quality filter
     (C4/Gopher heuristics) → exact dedup (min-id canonical per text
@@ -1222,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         # rows-only (non-SQL-expressible)
         "cdc_replay": q_cdc_replay,
+        "compression_quality": q_compression_quality,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,

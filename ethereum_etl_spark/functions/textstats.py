@@ -175,3 +175,40 @@ def rolling_shingle_fingerprints(
     return F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", words)))).otherwise(
         F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))))
     ).alias("shingles")
+
+
+def compression_ratio(col: str | Column = "text", level: int = 6) -> Column:
+    """zlib bytes-out / bytes-in per document — the classic repetition /
+    boilerplate proxy (CCNet-family quality signal): templated or
+    repeated content compresses far below prose (~0.3 vs ~0.5+).
+
+    zlib has no SQL analog, so this is the Arrow path (pandas UDF —
+    the module's ONLY non-JVM operator, which is why pandas imports
+    live inside this function,
+    batch transfer; the per-row zlib call inside the batch IS the work
+    — same measured posture as the html extractor,
+    functions/extract.py:64-74). DEFLATE output is deterministic for a
+    given (input, level, strategy) with the bundled zlib, so the value
+    is reproducible and unit-test-oracled against direct zlib calls;
+    it is NOT portable across zlib builds, which is why this ships
+    without a cross-engine SQL oracle (declared rows-only)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return 0.0
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and Spark can't resolve 'pd.Series' without a module-level
+    # pandas import; the explicit returnType makes it a scalar pandas UDF
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_ratio, "double")(c)

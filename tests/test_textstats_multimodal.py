@@ -216,3 +216,33 @@ def test_media_strict_mode(spark):
     )
     with _pt.raises(Exception):
         sample_frames(mp4, strict=True).collect()
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    import zlib
+
+    from ethereum_etl_spark.functions.textstats import compression_ratio
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog near the river bank today.",
+        "spam spam spam " * 40,
+        "",
+        None,
+        "short",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", compression_ratio("t").alias("r")).collect()
+    }
+
+    def expect(t):
+        if t is None:
+            return None
+        b = t.encode("utf-8")
+        return len(zlib.compress(b, 6)) / len(b) if b else 0.0
+
+    for i, t in enumerate(texts):
+        assert got[i] == expect(t), (i, t)
+    # the signal discriminates: repeated template << prose
+    assert got[1] < 0.3 < got[0]
