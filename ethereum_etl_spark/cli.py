@@ -156,6 +156,15 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--snapshot", default=None,
                     help="time-travel lookup at this committed snapshot")
 
+    bf = sub.add_parser("backfill", help="reprocess committed rows through a "
+                        "transform and commit one new snapshot (extractor "
+                        "upgrade); WAL bookkeeping untouched — apply stays "
+                        "a no-op, time travel serves the old text")
+    _add_engine_args(bf)
+    bf.add_argument("--transform", default="reextract", choices=["reextract"],
+                    help="reextract = re-run the html→text extractor over "
+                         "every live row")
+
     v = sub.add_parser("vacuum", help="delete orphan data files (aborted "
                        "stages / failed audit gates) referenced by no "
                        "manifest; committed snapshots and time travel "
@@ -378,6 +387,29 @@ def main(argv: list[str] | None = None) -> int:
             r["warc_ts"] = str(r.get("warc_ts"))
             out["row"] = r
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "backfill":
+        from pyspark.sql import functions as F
+
+        from ethereum_etl_spark.functions.extract import extract_text_udf
+        from ethereum_etl_spark.operators.snapshot_table import TOMBSTONE_COL
+
+        def reextract(df):
+            live = ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            return df.withColumn(
+                "text",
+                F.when(live, extract_text_udf(F.col("html"))).otherwise(
+                    F.lit(None).cast("string")
+                ),
+            )
+
+        sid = engine.backfill(reextract, note=args.transform)
+        print(json.dumps({
+            "snapshot": sid,
+            "transform": args.transform,
+            "high_watermark": engine.table.high_watermark(),
+        }))
         return 0
 
     if args.cmd == "vacuum":

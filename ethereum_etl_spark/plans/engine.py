@@ -613,6 +613,56 @@ class CDCEngine:
             df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         return df.drop(BUCKET_COL, TOMBSTONE_COL)
 
+    def backfill(self, transform, note: str = "backfill") -> str | None:
+        """Reprocess every committed row through ``transform`` and commit
+        the result as one new snapshot — the extractor-upgrade workflow
+        (new html→text logic must reach rows ingested under the old
+        one; the reference's answer is re-running the whole ETL —
+        src/clis/historical.py — ours rewrites in place).
+
+        WAL bookkeeping is untouched: the ledger entry carries no
+        epoch_id / end_seq, so exactly-once replay skips nothing it
+        shouldn't, the high watermark is unchanged, and a subsequent
+        ``apply`` is still a 0-epoch no-op. Time travel to the
+        pre-backfill snapshot serves the OLD text — backfill is a new
+        version, not a mutation.
+
+        ``transform`` takes and returns a DataFrame over the physical
+        columns (user columns + tombstone/bucket) and must preserve the
+        column set — keys, versions, and bucketing are layout
+        invariants. Tombstone rows pass through it; guard with
+        ``~col('__deleted')`` when the transform should skip deletes.
+
+        MoR delta overlays are compacted first (bounded per group, all
+        groups) so the rewrite reads one layer. The rewrite itself is
+        the honest full-table cost of a backfill — one bucket-
+        partitioned CoW pass, shuffle bounded by the bucket layout.
+
+        Returns the new snapshot id, or None on an empty table.
+        """
+        snap = self.table.current_snapshot()
+        if snap is None:
+            return None
+        if any(f.kind == "delta" for f in snap.files):
+            self.table.compact_groups(
+                tombstone_retention_seqs=self.config.tombstone_retention_seqs
+            )
+            snap = self.table.current_snapshot()
+        version = snap.schema_version
+        df = self.table.read()
+        out = transform(df)
+        if set(out.columns) != set(df.columns):
+            raise ValueError(
+                f"backfill transform must preserve the column set; "
+                f"got {sorted(out.columns)} vs {sorted(df.columns)}"
+            )
+        physical_cols = [c for c in df.columns if c != BUCKET_COL]
+        snapshot_id = self.table.new_snapshot_id()
+        new_files = self.table.stage(out, snapshot_id, version, physical_cols)
+        return self.table.commit(
+            snapshot_id, new_files, [], version, {"op": "backfill", "note": note}
+        )
+
     def changes(
         self, from_snapshot: str | None, to_snapshot: str | None = None
     ) -> DataFrame | None:
