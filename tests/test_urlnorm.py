@@ -66,3 +66,30 @@ def test_plan_stays_in_codegen(spark):
         df.select(canonical_url("url"))._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_canonical_total_and_idempotent_on_fuzz_corpus(spark):
+    """500 seeded-random ASCII strings (plus url-ish mutations): the
+    canonicalizer must never fail and must be a projection (f∘f = f)."""
+    import random
+    import string
+
+    rng = random.Random(0)
+    alphabet = string.ascii_letters + string.digits + ":/?#[]@!$&'()*+,;=.%- "
+    rows = []
+    for i in range(500):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        if i % 3 == 0:
+            s = "http://" + s
+        elif i % 3 == 1:
+            s = "HTTPS://HOST" + str(i) + ".COM:443/" + s
+        rows.append((s,))
+    df = spark.createDataFrame(rows, ["url"])
+    once = df.select(canonical_url("url").alias("c"))
+    twice = once.select(F.col("c").alias("a"), canonical_url("c").alias("b"))
+    bad = twice.filter(
+        (F.col("a") != F.col("b"))
+        | F.col("a").isNull() != F.col("b").isNull()
+    ).count()
+    assert bad == 0
+    assert once.count() == 500
