@@ -90,3 +90,17 @@ def test_legacy_manifest_defaults_to_unknown_bounds():
         {"path": "p", "bucket": 0, "schema_version": 1, "rows": 1, "bytes": 1}
     )
     assert f.ts_min is None and f.ts_max is None
+
+
+def test_time_travel_updated_since(engine):
+    """updated-since composes with VERSION AS OF: at an earlier
+    snapshot, later epochs' rows are invisible even when newer than
+    the bound."""
+    ledger = [e for e in engine.table.read_ledger() if "epoch_id" in e]
+    assert len(ledger) >= 2
+    early = ledger[0]["snapshot_id"]
+    df, scanned, total = engine.table.read_updated_since(0, snapshot_id=early)
+    got = {r["url"] for r in df.collect()}
+    full_early = {r["url"] for r in engine.read_table(snapshot_id=early).collect()}
+    assert got == full_early
+    assert total < len(engine.table.current_snapshot().files)
