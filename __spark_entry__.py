@@ -197,6 +197,49 @@ def q_interval_join(spark, sf_dir):
     return out.select("event_id", "interval_id")
 
 
+def q_ivm_cohort_agg(spark, sf_dir):
+    """Incremental view maintenance: a per-cohort (count, sum) aggregate
+    built at the half-way state is advanced to the final state using
+    ONLY the pre-image change feed (+post, −pre delta rule) — never
+    rescanning either state — and must equal the from-scratch GROUP BY
+    of the final state, which is what the oracle computes. Decimal
+    sums keep the algebra exact so incremental == scratch bitwise
+    (the reference's insert-only ClickHouse MV generalized to
+    updates/deletes: src/repositories/clickhouse/event.py:83-88)."""
+    from ethereum_etl_spark.operators.changes import state_diff
+    from ethereum_etl_spark.operators.ivm import agg_delta, apply_agg_delta
+    from ethereum_etl_spark.operators.lww import lww_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    ).withColumn("dval", F.col("value").cast("decimal(18,4)"))
+    split = ev.agg((F.max("event_id") / 2).cast("long").alias("s")).collect()[0]["s"]
+
+    def state(df):
+        win = lww_agg(df, key_cols=("user_id",), version_cols=("ts", "event_id"))
+        return win.filter(F.col("op") != "delete").select(
+            "user_id", "ts", "event_id", "dval"
+        )
+
+    a = state(ev.filter(F.col("event_id") <= split))
+    b = state(ev)
+    cohort = (F.col("user_id") % 10).alias("cohort")
+    agg_a = a.select(cohort, "dval").groupBy("cohort").agg(
+        F.count("*").alias("n"), F.sum("dval").alias("dval")
+    )
+    feed = state_diff(
+        a, b, key_cols=["user_id"], version_cols=["ts", "event_id"],
+        payload_cols=["dval"], preimage=True,
+    )
+    delta = agg_delta(feed.select(cohort, "change_type", "dval"), ["cohort"], ["dval"])
+    out = apply_agg_delta(agg_a, delta, ["cohort"], ["dval"])
+    return out.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("n").cast("long").alias("n_users"),
+        F.col("dval").cast("double").alias("sum_value"),
+    )
+
+
 def q_merge_upsert(spark, sf_dir):
     """MERGE INTO semantics (S6/J6): target = LWW state of even event_ids,
     source batch = LWW state of odd event_ids; version-guarded upsert."""
@@ -1189,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_salted": q_lww_salted,
         "cdc_final_state": q_cdc_final_state,
         "cdc_updated_since": q_cdc_updated_since,
+        "ivm_cohort_agg": q_ivm_cohort_agg,
         "cdc_changes": q_cdc_changes,
         "interval_join": q_interval_join,
         "merge_upsert": q_merge_upsert,
@@ -1305,6 +1349,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                           ORDER BY ts DESC, event_id DESC) AS rn FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "ivm_cohort_agg": """
+            SELECT user_id % 10 AS cohort,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+            GROUP BY 1
         """,
         "cdc_updated_since": """
             WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi

@@ -168,17 +168,26 @@ def state_diff(
     key_cols: Sequence[str],
     version_cols: Sequence[str],
     payload_cols: Sequence[str],
+    preimage: bool = False,
 ) -> DataFrame:
     """Net changes turning keyed state ``a`` into keyed state ``b``.
 
     Inputs are one-row-per-key (already LWW-collapsed, tombstones
-    dropped). Output: key_cols + change_type + payload_cols, where the
-    payload is the POST-image from ``b`` (null on deletes):
+    dropped). Default output: key_cols + change_type + payload_cols,
+    where the payload is the POST-image from ``b`` (null on deletes):
 
     - key only in ``b``                      → insert
     - key in both, version columns differ    → update_postimage
     - key in both, version columns equal     → (no row — unchanged)
     - key only in ``a``                      → delete
+
+    With ``preimage=True`` the feed is the Delta-Lake CDF shape —
+    ``a`` must then also carry the payload columns: each update emits a
+    PAIR (update_preimage with A's payload, update_postimage with B's),
+    and deletes carry the DELETED row's payload instead of nulls. This
+    is exactly what downstream incremental view maintenance needs: a
+    sum is updatable from (+post, −pre) without ever rescanning state
+    (operators/ivm.py builds on it).
 
     ``a`` may be None (empty initial state): every ``b`` row is an
     insert — no join is planned at all in that case.
@@ -194,8 +203,11 @@ def state_diff(
             F.lit("insert").alias(CHANGE_TYPE_COL),
             *payload_cols,
         )
+    a_payload = list(payload_cols) if preimage else []
     a_side = a.select(
-        *keys, *[F.col(c).alias(f"__a_{c}") for c in version_cols]
+        *keys,
+        *[F.col(c).alias(f"__a_{c}") for c in version_cols],
+        *[F.col(c).alias(f"__pre_{c}") for c in a_payload],
     )
     b_side = b.select(
         *keys, *[F.col(c).alias(f"__b_{c}") for c in version_cols], *payload_cols
@@ -208,13 +220,27 @@ def state_diff(
     same_version = F.struct(
         *[F.col(f"__a_{c}").alias(c) for c in version_cols]
     ) == F.struct(*[F.col(f"__b_{c}").alias(c) for c in version_cols])
-    return (
-        joined.withColumn(
-            CHANGE_TYPE_COL,
-            F.when(~in_a & in_b, F.lit("insert"))
-            .when(in_a & in_b & ~same_version, F.lit("update_postimage"))
-            .when(in_a & ~in_b, F.lit("delete")),
-        )
-        .filter(F.col(CHANGE_TYPE_COL).isNotNull())
-        .select(*keys, CHANGE_TYPE_COL, *payload_cols)
+    classified = joined.withColumn(
+        CHANGE_TYPE_COL,
+        F.when(~in_a & in_b, F.lit("insert"))
+        .when(in_a & in_b & ~same_version, F.lit("update_postimage"))
+        .when(in_a & ~in_b, F.lit("delete")),
+    ).filter(F.col(CHANGE_TYPE_COL).isNotNull())
+    if not preimage:
+        return classified.select(*keys, CHANGE_TYPE_COL, *payload_cols)
+    post = classified.filter(
+        F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
+    ).select(*keys, CHANGE_TYPE_COL, *payload_cols)
+    pre_updates = classified.filter(
+        F.col(CHANGE_TYPE_COL) == "update_postimage"
+    ).select(
+        *keys,
+        F.lit("update_preimage").alias(CHANGE_TYPE_COL),
+        *[F.col(f"__pre_{c}").alias(c) for c in payload_cols],
     )
+    deletes = classified.filter(F.col(CHANGE_TYPE_COL) == "delete").select(
+        *keys,
+        CHANGE_TYPE_COL,
+        *[F.col(f"__pre_{c}").alias(c) for c in payload_cols],
+    )
+    return post.unionByName(pre_updates).unionByName(deletes)
