@@ -198,6 +198,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="inclusive upper snapshot id (default: current)")
     ch.add_argument("--out", default=None,
                     help="write the change rows as parquet here (default: summary only)")
+    ch.add_argument("--preimage", action="store_true",
+                    help="Delta-CDF shape: updates emit a preimage/postimage "
+                         "pair, deletes carry the deleted payload (feeds "
+                         "incremental view maintenance)")
 
     m = sub.add_parser("multi", help="multi-table apply: one WAL → pages + "
                        "host_stats under one atomic group commit "
@@ -447,7 +451,9 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         try:
-            df = engine.changes(args.from_snapshot, args.to_snapshot)
+            df = engine.changes(
+                args.from_snapshot, args.to_snapshot, preimage=args.preimage
+            )
         except FileNotFoundError as exc:
             print(json.dumps({
                 "error": f"unknown or expired snapshot: {exc}",
@@ -471,6 +477,10 @@ def main(argv: list[str] | None = None) -> int:
             "inserts": counts.get("insert", 0),
             "updates": counts.get("update_postimage", 0),
             "deletes": counts.get("delete", 0),
+            **(
+                {"preimages": counts.get("update_preimage", 0)}
+                if args.preimage else {}
+            ),
             "out": args.out,
         }))
         return 0

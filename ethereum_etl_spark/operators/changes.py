@@ -48,6 +48,7 @@ def table_changes(
     registry: "SchemaRegistry",
     from_snapshot: str | None,
     to_snapshot: str | None = None,
+    preimage: bool = False,
 ) -> DataFrame | None:
     """Incremental change feed over an LWW SnapshotTable (version order
     (warc_ts, seq)). Candidate keys come from the MANIFEST DIFF — only
@@ -62,6 +63,14 @@ def table_changes(
     compaction inside the window only ADDS already-filtered candidates
     (rewritten rows compare version-equal to their A winner) — correct,
     just less pruned.
+
+    With ``preimage=True`` the feed is the Delta-CDF shape consumed by
+    incremental view maintenance (operators/ivm.py): each update also
+    emits an ``update_preimage`` row, and deletes carry the DELETED
+    payload. Pre-image payloads are fetched from snapshot A pruned to
+    the changed keys' hash buckets (plus their delta groups) — the
+    read_key file-skipping applied in bulk, so pre-image cost is ∝
+    buckets touched by the change set, not ∝ table size.
     """
     from ethereum_etl_spark.operators.snapshot_table import TOMBSTONE_COL
     from ethereum_etl_spark.schemas import schema_for_version
@@ -152,14 +161,58 @@ def table_changes(
         .join(new_df.select("seq", *payload_cols), on="seq", how="inner")
         .select(*out_cols)
     )
-    deletes = changed.filter(F.col("__del") & in_a).select(
-        key,
-        F.lit("delete").alias(CHANGE_TYPE_COL),
-        "warc_ts",
-        "seq",
-        *[F.lit(None).cast(payload_types[c]).alias(c) for c in payload_cols],
+    if not preimage:
+        deletes = changed.filter(F.col("__del") & in_a).select(
+            key,
+            F.lit("delete").alias(CHANGE_TYPE_COL),
+            "warc_ts",
+            "seq",
+            *[F.lit(None).cast(payload_types[c]).alias(c) for c in payload_cols],
+        )
+        return upserts.unionByName(deletes)
+
+    from ethereum_etl_spark.operators.snapshot_table import (
+        bucket_expr,
+        group_of_bucket,
     )
-    return upserts.unionByName(deletes)
+
+    # keys that HAD a live A row and changed: updates need a preimage
+    # row, deletes need the deleted payload. Their A winner rows are
+    # fetched from snapshot A pruned to the keys' hash buckets — one
+    # small driver collect of ≤ n_buckets ints, then a seq equi-join.
+    pre_meta = changed.filter(in_a).select(
+        key,
+        F.col("__del").alias("__was_delete"),
+        F.col("__a_warc_ts").alias("warc_ts"),
+        F.col("__a_seq").alias("seq"),
+        bucket_expr(key, table.n_buckets).alias("__b"),
+    )
+    buckets = {r["__b"] for r in pre_meta.select("__b").distinct().collect()}
+    if snap_a is not None and buckets:
+        groups = {group_of_bucket(b, table.n_delta_groups) for b in buckets}
+        a_files = [
+            f
+            for f in snap_a.files
+            if (f.kind == "base" and f.bucket in buckets)
+            or (f.kind == "delta" and (f.group in groups or f.group == -1))
+        ]
+        a_payload = table._read_files(a_files, snap_b.schema_version).select(
+            "seq", *payload_cols
+        )
+        pre_rows = (
+            pre_meta.join(a_payload, on="seq", how="inner")
+            .select(
+                key,
+                F.when(F.col("__was_delete"), F.lit("delete"))
+                .otherwise(F.lit("update_preimage"))
+                .alias(CHANGE_TYPE_COL),
+                "warc_ts",
+                "seq",
+                *payload_cols,
+            )
+        )
+        return upserts.unionByName(pre_rows)
+    return upserts
 
 
 def state_diff(

@@ -664,7 +664,10 @@ class CDCEngine:
         )
 
     def changes(
-        self, from_snapshot: str | None, to_snapshot: str | None = None
+        self,
+        from_snapshot: str | None,
+        to_snapshot: str | None = None,
+        preimage: bool = False,
     ) -> DataFrame | None:
         """Net row changes between two committed snapshots (change feed).
 
@@ -684,10 +687,15 @@ class CDCEngine:
         ``from_snapshot=None`` = from table creation (all inserts).
         ``to_snapshot=None`` = current snapshot. Like time travel, both
         snapshots must not be expired. Returns None for an empty table.
+        ``preimage=True`` = Delta-CDF shape (update pre/post pairs,
+        deletes carry the deleted payload) for incremental view
+        maintenance — see table_changes.
         """
         from ethereum_etl_spark.operators.changes import table_changes
 
-        return table_changes(self.table, self.registry, from_snapshot, to_snapshot)
+        return table_changes(
+            self.table, self.registry, from_snapshot, to_snapshot, preimage=preimage
+        )
 
     def read_lineage(self) -> DataFrame | None:
         if not os.listdir(self.lineage_root):

@@ -129,3 +129,43 @@ def test_changes_payload_is_post_image(spark, wal_path, tmp_table):
         assert b.loc[row["url"], "text"] == row["text"]
     dels = pdf[pdf["change_type"] == "delete"]
     assert dels["text"].isna().all() and dels["html"].isna().all()
+
+
+def test_changes_preimage_feed(spark, wal_path, tmp_table):
+    """preimage=True must equal the state-level spec: every update emits
+    a pre/post pair (pre payload = A's row), deletes carry the DELETED
+    payload, and pre-image rows carry A's version columns."""
+    from ethereum_etl_spark.operators.changes import state_diff
+
+    eng = CDCEngine(
+        spark, wal_path, tmp_table, config=EngineConfig(epoch_size=2_000, n_buckets=8)
+    )
+    results = eng.run()
+    snaps = [r.snapshot_id for r in results]
+    a_df = eng.read_table(snapshot_id=snaps[1])
+    b_df = eng.read_table(snapshot_id=snaps[3])
+
+    got = {
+        (r["url"], r["change_type"]): (r["text"], r["seq"])
+        for r in eng.changes(snaps[1], snaps[3], preimage=True).collect()
+    }
+    spec = {
+        (r["url"], r["change_type"]): r["text"]
+        for r in state_diff(
+            a_df, b_df, ["url"], ["warc_ts", "seq"],
+            ["text"], preimage=True,
+        ).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == spec
+    # every update is a pre/post PAIR; pre rows carry A's version
+    a_rows = {r["url"]: (r["text"], r["seq"]) for r in a_df.collect()}
+    ups = {u for (u, t) in got if t == "update_postimage"}
+    pres = {u for (u, t) in got if t == "update_preimage"}
+    assert ups == pres and ups
+    for u in pres:
+        assert got[(u, "update_preimage")] == a_rows[u]
+    # deletes carry the deleted payload, not null
+    dels = [(u, t) for (u, t) in got if t == "delete"]
+    assert dels
+    for u, t in dels:
+        assert got[(u, t)] == a_rows[u]
