@@ -71,6 +71,15 @@ def table_changes(
     the changed keys' hash buckets (plus their delta groups) — the
     read_key file-skipping applied in bulk, so pre-image cost is ∝
     buckets touched by the change set, not ∝ table size.
+
+    Retention coupling: a compaction inside the window that EXPIRED
+    tombstones (``tombstone_retention_seqs``) can remove the only
+    evidence of a delete from the window's files. Compactions record
+    their expiry cutoff in the ledger; when any window-crossing cutoff
+    exceeds snapshot A's high watermark, this function falls back to a
+    full state diff (``_full_state_changes``) — correct, cost ∝ table
+    size. Operate with retention longer than any consumer's polling lag
+    and the fallback never triggers.
     """
     from ethereum_etl_spark.operators.snapshot_table import TOMBSTONE_COL
     from ethereum_etl_spark.schemas import schema_for_version
@@ -93,6 +102,38 @@ def table_changes(
         f for f in schema.fieldNames() if f not in (key, "warc_ts", "seq")
     ]
     payload_types = {f.name: f.dataType for f in schema.fields}
+
+    # -- retention / change-feed coupling (the Delta CDF contract) ------
+    # The manifest-diff path sources candidates from files added in the
+    # window. If a compaction INSIDE the window expired a tombstone whose
+    # key was live at A (cutoff > A's high watermark), that key is absent
+    # from the new files and the incremental path would silently drop the
+    # delete. Compactions record their cutoff in the ledger; when any
+    # window-crossing cutoff exceeds A's watermark, fall back to a FULL
+    # state diff of the two snapshots — correct at cost ∝ table size.
+    # With retention configured longer than any consumer's polling lag
+    # (the documented operating rule), cutoff ≤ A_hw always holds and
+    # the fallback never triggers.
+    if snap_a is not None:
+        ledger = table.read_ledger()
+        pos = {
+            e["snapshot_id"]: i
+            for i, e in enumerate(ledger)
+            if "snapshot_id" in e
+        }
+        a_pos = pos.get(snap_a.snapshot_id, -1)
+        b_pos = pos.get(snap_b.snapshot_id, len(ledger) - 1)
+        a_hw = max(
+            (e.get("end_seq", -1) for e in ledger[: a_pos + 1]), default=-1
+        )
+        expiry_crossed = any(
+            e.get("compaction") and e.get("tombstone_cutoff", -1) > a_hw
+            for e in ledger[a_pos + 1 : b_pos + 1]
+        )
+        if expiry_crossed:
+            return _full_state_changes(
+                table, snap_a, snap_b, payload_cols, preimage
+            )
 
     a_paths = {f.path for f in snap_a.files} if snap_a is not None else set()
     new_files = [f for f in snap_b.files if f.path not in a_paths]
@@ -213,6 +254,84 @@ def table_changes(
         )
         return upserts.unionByName(pre_rows)
     return upserts
+
+
+def _full_state_changes(
+    table: "SnapshotTable",
+    snap_a,
+    snap_b,
+    payload_cols: list[str],
+    preimage: bool,
+) -> DataFrame:
+    """Correctness fallback for ``table_changes`` when a window-crossing
+    compaction expired tombstones the incremental path relies on: a full
+    outer join of the two collapsed snapshot states (tombstones
+    included), cost ∝ |A| + |B|. Same output shape and semantics as the
+    incremental path, with one honest exception: a delete whose
+    tombstone was EXPIRED inside the window has no tombstone version
+    anywhere, so its row carries the A-side (deleted row's) version —
+    which is also what the preimage shape emits for every delete.
+    """
+    from ethereum_etl_spark.operators.snapshot_table import TOMBSTONE_COL
+
+    key = table.key_col
+    sel = [
+        key,
+        "warc_ts",
+        "seq",
+        *payload_cols,
+        F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias("__del"),
+    ]
+    a_df = table.read(snapshot_id=snap_a.snapshot_id).select(*sel)
+    b_df = table.read(snapshot_id=snap_b.snapshot_id).select(*sel)
+    a_side = a_df.select(
+        key,
+        F.col("warc_ts").alias("__a_warc_ts"),
+        F.col("seq").alias("__a_seq"),
+        F.col("__del").alias("__a_del"),
+        *[F.col(c).alias(f"__a_{c}") for c in payload_cols],
+    )
+    j = b_df.join(a_side, on=key, how="full_outer")
+    a_live = F.col("__a_seq").isNotNull() & ~F.col("__a_del")
+    b_live = F.col("seq").isNotNull() & ~F.coalesce(F.col("__del"), F.lit(False))
+    same_ver = (F.col("__a_warc_ts") == F.col("warc_ts")) & (
+        F.col("__a_seq") == F.col("seq")
+    )
+    out_cols = [key, CHANGE_TYPE_COL, "warc_ts", "seq", *payload_cols]
+    upserts = j.filter(
+        b_live & (~a_live | ~F.coalesce(same_ver, F.lit(False)))
+    ).select(
+        key,
+        F.when(a_live, F.lit("update_postimage"))
+        .otherwise(F.lit("insert"))
+        .alias(CHANGE_TYPE_COL),
+        "warc_ts",
+        "seq",
+        *payload_cols,
+    )
+    if not preimage:
+        deletes = j.filter(a_live & ~b_live).select(
+            key,
+            F.lit("delete").alias(CHANGE_TYPE_COL),
+            # tombstone version when it survived; the deleted row's
+            # version when the tombstone itself was expired
+            F.coalesce(F.col("warc_ts"), F.col("__a_warc_ts")).alias("warc_ts"),
+            F.coalesce(F.col("seq"), F.col("__a_seq")).alias("seq"),
+            *[F.lit(None).cast(dict(a_df.dtypes)[c]).alias(c) for c in payload_cols],
+        )
+        return upserts.unionByName(deletes).select(*out_cols)
+    pre = j.filter(
+        a_live & (~b_live | (b_live & ~F.coalesce(same_ver, F.lit(False))))
+    ).select(
+        key,
+        F.when(~b_live, F.lit("delete"))
+        .otherwise(F.lit("update_preimage"))
+        .alias(CHANGE_TYPE_COL),
+        F.col("__a_warc_ts").alias("warc_ts"),
+        F.col("__a_seq").alias("seq"),
+        *[F.col(f"__a_{c}").alias(c) for c in payload_cols],
+    )
+    return upserts.unionByName(pre).select(*out_cols)
 
 
 def state_diff(

@@ -88,6 +88,7 @@ def connected_components(
     """
     edges = _canonical_undirected(pairs, id_a, id_b).localCheckpoint()
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         # signature: (n_edges, sum(v)) — cheap change detector; stable
@@ -96,8 +97,18 @@ def connected_components(
             edges.agg(F.count("*"), F.sum("u"), F.sum("v")).collect()[0]
         )
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # large-star/small-star contracts in O(log n) expected rounds;
+        # exhausting the budget means the ids below would be WRONG
+        # (unconverged stars), which a dedup keep-policy would then act
+        # on silently. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; raise max_rounds (components need ~log2(n) rounds)"
+        )
     members = edges.select(F.col("v").alias("doc_id"), F.col("u").alias("component_id"))
     roots = edges.select(F.col("u").alias("doc_id"), F.col("u").alias("component_id"))
     return members.unionByName(roots).groupBy("doc_id").agg(

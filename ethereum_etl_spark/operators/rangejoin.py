@@ -46,12 +46,24 @@ def interval_join(
     interval length — too small explodes the right side, too large
     collides unrelated rows into one bucket. ``how='inner'`` (matches
     only) or ``'left'`` (keep unmatched left rows with null right
-    columns — implemented as inner ∪ anti, so the exact predicate
-    never leaves the bucket-collided pairs; requires distinct left
-    rows, since the anti side matches on all left columns).
+    columns — implemented as inner ∪ null-safe anti on all left
+    columns, so the exact predicate never leaves the bucket-collided
+    pairs; identical duplicate left rows match identically, so the
+    reconstruction is exact for bags too). Overlapping column names
+    between left and right are rejected up front — the left join would
+    otherwise silently null-overwrite the left side's values.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        # an inner join would make these ambiguous, and the left-join
+        # null-fill below would OVERWRITE the left side's values —
+        # silently wrong output. Refuse; callers rename first.
+        raise ValueError(
+            f"left and right share column names {sorted(overlap)}; "
+            "rename one side before interval_join"
+        )
     w = F.lit(bucket_width_s)
     l_bucket = (F.unix_timestamp(F.col(left_ts)) / w).cast("long")
     r_lo = (F.unix_timestamp(F.col(right_start)) / w).cast("long")
@@ -71,9 +83,16 @@ def interval_join(
     )
     if how == "inner":
         return matched
-    unmatched = left.join(
-        matched.select(*left.columns), on=left.columns, how="left_anti"
-    )
+    # null-SAFE anti join: plain `on=left.columns` uses null-unsafe
+    # equality, so a left row with a null in any column would never
+    # match the anti side and appear BOTH matched and null-filled.
+    l_side = left.alias("__rj_l")
+    m_side = matched.select(*left.columns).alias("__rj_m")
+    cond = None
+    for c in left.columns:
+        eq = F.col(f"__rj_l.{c}").eqNullSafe(F.col(f"__rj_m.{c}"))
+        cond = eq if cond is None else cond & eq
+    unmatched = l_side.join(m_side, on=cond, how="left_anti")
     for c in right.columns:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(dict(right.dtypes)[c])

@@ -117,8 +117,20 @@ class AppendLog:
         fd = os.open(self.jsonl_path, os.O_WRONLY | os.O_CREAT, 0o644)
         try:
             os.ftruncate(fd, self._valid_bytes)  # drop any torn tail
-            os.lseek(fd, self._valid_bytes, os.SEEK_SET)
-            os.write(fd, line)  # ONE write: the atomic commit
+            # a short write (ENOSPC, signal) must not advance the valid
+            # offset past what is actually durable: loop until the whole
+            # line is down, and raise — with _valid_bytes NOT advanced —
+            # if the kernel won't take more bytes. A partial line left
+            # behind is exactly the torn-tail case _load() repairs.
+            written = 0
+            while written < len(line):
+                n = os.pwrite(fd, line[written:], self._valid_bytes + written)
+                if n <= 0:
+                    raise OSError(
+                        f"commit log short write at {self.jsonl_path}: "
+                        f"{written}/{len(line)} bytes"
+                    )
+                written += n
             os.fsync(fd)
         finally:
             os.close(fd)
@@ -789,6 +801,9 @@ class SnapshotTable:
         retention leaves no delete residue either —
         src/repositories/sqlite/base.py:210-227). Tombstones still
         inside the window survive and keep winning against late events.
+        The cutoff is recorded in the compaction's ledger entry so
+        change-feed reads can detect a window-crossing expiry and fall
+        back to a full diff (operators/changes.py retention coupling).
         Returns the new snapshot id, or None if nothing to do.
         """
         snap = self.current_snapshot()
@@ -813,15 +828,16 @@ class SnapshotTable:
             untouched = [f for f in snap.files if not _is_touched(f)]
         df = self._read_files(touched, snap.schema_version)
         collapsed = self._collapse_payload_light(df)
+        tombstone_cutoff: int | None = None
         if (
             tombstone_retention_seqs is not None
             and TOMBSTONE_COL in collapsed.columns
             and "seq" in collapsed.columns
         ):
-            cutoff = self.high_watermark() - tombstone_retention_seqs
+            tombstone_cutoff = self.high_watermark() - tombstone_retention_seqs
             collapsed = collapsed.filter(
                 ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
-                | (F.col("seq") > cutoff)
+                | (F.col("seq") > tombstone_cutoff)
             )
         # delta rows carry no bucket (written shuffle-free); recompute
         # from the key so the compacted base is fully bucketed
@@ -833,13 +849,13 @@ class SnapshotTable:
         new_files = self.stage(
             collapsed, snapshot_id, snap.schema_version, data_cols, kind="base"
         )
-        self.commit(
-            snapshot_id,
-            new_files,
-            untouched,
-            snap.schema_version,
-            {"compaction": True, "groups": sorted(todo)},
-        )
+        # the cutoff is RECORDED in the ledger so change-feed reads can
+        # detect a window-crossing expiry and fall back to a full diff
+        # (the Delta CDF ↔ retention coupling — operators/changes.py)
+        entry: dict = {"compaction": True, "groups": sorted(todo)}
+        if tombstone_cutoff is not None:
+            entry["tombstone_cutoff"] = tombstone_cutoff
+        self.commit(snapshot_id, new_files, untouched, snap.schema_version, entry)
         return snapshot_id
 
     #: former name (pre-grouped-delta API); argument is now a GROUP set
@@ -863,26 +879,49 @@ class SnapshotTable:
         )
 
     def vacuum_orphans(self, older_than_s: float = 3600.0) -> int:
-        """Delete data files referenced by NO manifest at all — the
-        residue of aborted publishes (crash between stage and commit,
-        failed write-audit gates). Non-destructive: every committed
-        snapshot keeps its files, so time travel is unaffected (contrast
-        ``expire_snapshots``, which trades old snapshots for space).
+        """Delete data files and manifests reachable from NO committed
+        (ledger-referenced) snapshot — the residue of aborted publishes
+        (crash between stage and commit, failed write-audit gates).
+        Non-destructive: every committed snapshot keeps its files, so
+        time travel is unaffected (contrast ``expire_snapshots``, which
+        trades old snapshots for space).
+
+        Liveness is computed from the LEDGER, not from the manifest
+        directory: MultiTableEngine writes member manifests BEFORE the
+        group-ledger commit, so an aborted multi-table publish leaves an
+        orphan manifest referencing its staged files — treating any
+        manifest as a liveness root would keep that residue forever.
+        Orphan manifests past the grace period are deleted too, then
+        their now-unreferenced data files. (Uncommitted manifests inside
+        the grace window still protect their files: an in-flight publish
+        is never vacuumed out from under the writer.)
 
         ``older_than_s`` is the safety grace: a staged-but-not-yet-
         committed epoch's files are also unreferenced for a moment, so
-        only files older than the grace period are candidates — run
-        vacuum with the default while a tailer is live, or with 0 only
-        when no writer is running. Iceberg's remove_orphan_files has the
-        identical contract (default 3-day grace). Returns files deleted.
+        only files/manifests older than the grace period are candidates
+        — run vacuum with the default while a tailer is live, or with 0
+        only when no writer is running. Iceberg's remove_orphan_files
+        has the identical contract (default 3-day grace). Returns files
+        deleted (manifests not counted).
         """
+        committed_ids = {
+            e["snapshot_id"] for e in self.read_ledger() if "snapshot_id" in e
+        }
+        cutoff = time.time() - older_than_s
         referenced: set[str] = set()
         man_dir = os.path.join(self.root, "manifests")
         for fn in os.listdir(man_dir):
-            if fn.startswith("manifest-") and fn.endswith(".json"):
-                sid = fn[len("manifest-"):-len(".json")]
+            if not (fn.startswith("manifest-") and fn.endswith(".json")):
+                continue
+            sid = fn[len("manifest-"):-len(".json")]
+            full = os.path.join(man_dir, fn)
+            if sid in committed_ids:
                 referenced.update(f.path for f in self.read_snapshot_meta(sid).files)
-        cutoff = time.time() - older_than_s
+            elif os.path.getmtime(full) < cutoff:
+                os.remove(full)  # aborted publish: manifest is residue too
+            else:
+                # in-flight (inside grace): its files stay protected
+                referenced.update(f.path for f in self.read_snapshot_meta(sid).files)
         deleted = 0
         data_root = os.path.join(self.root, "data")
         for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):

@@ -169,3 +169,58 @@ def test_changes_preimage_feed(spark, wal_path, tmp_table):
     assert dels
     for u, t in dels:
         assert got[(u, t)] == a_rows[u]
+
+
+def test_changes_tombstone_expiry_fallback(spark, wal_path, tmp_table):
+    """A compaction INSIDE the window that expires tombstones removes the
+    only evidence of deletes from the window's files. The ledger-recorded
+    cutoff must route the feed to the full-diff fallback, which still
+    reports every delete (vs the brute-force time-travel diff)."""
+    eng = CDCEngine(
+        spark, wal_path, tmp_table, config=EngineConfig(epoch_size=2_000, n_buckets=8)
+    )
+    results = eng.run(up_to_seq=4_000)
+    snap_a = results[-1].snapshot_id
+    eng.run()
+    # retention 0: cutoff = high watermark — every tombstone expires,
+    # including ones for keys that were live at A (cutoff > A's hw)
+    eng.table.compact_groups(tombstone_retention_seqs=0)
+    ledger = eng.table.read_ledger()
+    assert any(
+        e.get("compaction") and "tombstone_cutoff" in e for e in ledger
+    ), "compaction must record its expiry cutoff"
+    _assert_feed_matches(eng, snap_a, None)
+    # sanity: the window genuinely contains deletes (non-vacuous)
+    got, _ = _got_changes(eng, snap_a, None)
+    assert (got["change_type"] == "delete").any()
+
+
+def test_changes_retention_compliant_compaction_stays_incremental(
+    spark, wal_path, tmp_table
+):
+    """With retention longer than the window (cutoff ≤ A's watermark) the
+    incremental manifest-diff path stays active and stays correct."""
+    eng = CDCEngine(
+        spark, wal_path, tmp_table, config=EngineConfig(epoch_size=2_000, n_buckets=8)
+    )
+    results = eng.run(up_to_seq=4_000)
+    snap_a = results[-1].snapshot_id
+    eng.run()
+    # cutoff = hw − 8000 < 0 ≤ A's watermark: no tombstone the feed
+    # needs can have been dropped — no fallback
+    eng.table.compact_groups(tombstone_retention_seqs=8_000)
+    from ethereum_etl_spark.operators import changes as changes_mod
+
+    called = []
+    orig = changes_mod._full_state_changes
+
+    def spy(*a, **kw):
+        called.append(1)
+        return orig(*a, **kw)
+
+    changes_mod._full_state_changes = spy
+    try:
+        _assert_feed_matches(eng, snap_a, None)
+    finally:
+        changes_mod._full_state_changes = orig
+    assert not called, "retention-compliant window must not fall back"

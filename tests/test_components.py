@@ -1,5 +1,6 @@
 """Connected-components dup clustering (operators/components.py)."""
 
+import pytest
 import random
 
 from pyspark.sql import functions as F
@@ -77,3 +78,14 @@ def test_dup_clusters_isolated_docs_are_canonical(spark):
     assert rows[1]["is_canonical"] and not rows[4]["is_canonical"]
     for d in (0, 2, 3, 5, 6, 8, 9):
         assert rows[d]["cluster_id"] == d and rows[d]["is_canonical"]
+
+
+def test_nonconvergence_raises(spark):
+    """Exhausting max_rounds without a stable signature must raise, not
+    silently return unconverged (wrong) component ids."""
+    from ethereum_etl_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # stability detection needs ≥2 rounds; 1 round can never prove it
+        connected_components(pairs, max_rounds=1)

@@ -2,6 +2,8 @@
 group-ledger commit (reference: one stream feeds 14 entity tables,
 src/tasks/dag.py:32-49). Crash matrix proves all-or-nothing epochs."""
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -259,3 +261,46 @@ def test_multi_table_change_feeds(spark, tmp_path):
     # feed must be non-vacuous and strictly smaller than the dim when
     # some host's counts were already final by the first epoch
     assert 0 < len(hgot) <= len(hb)
+
+
+def test_vacuum_reclaims_aborted_multitable_publish(spark, tmp_path):
+    """MultiTableEngine writes member manifests BEFORE the group commit,
+    so an aborted publish leaves ORPHAN MANIFESTS referencing staged
+    files. vacuum_orphans must treat only ledger-committed manifests as
+    liveness roots: the orphan manifest and its files are reclaimed, and
+    a committed re-run is untouched."""
+    import glob
+
+    from ethereum_etl_spark.plans.multi import InjectedCrash, MultiTableEngine
+
+    wal = str(tmp_path / "wal")
+    write_wal(gen_wal(spark, WalConfig(n_events=3_000, n_urls=400)), wal, n_files=2)
+    root = str(tmp_path / "multi")
+    eng = MultiTableEngine(
+        spark, wal, root, epoch_size=3_000, crash_points={"after_stage"}
+    )
+    try:
+        eng.run()
+    except InjectedCrash:
+        pass
+    staged = glob.glob(os.path.join(root, "pages", "data", "**", "*.parquet"),
+                       recursive=True)
+    manifests = glob.glob(os.path.join(root, "pages", "manifests", "*.json"))
+    assert staged and manifests, "aborted publish must leave staged residue"
+
+    n = eng.pages.vacuum_orphans(older_than_s=0)
+    assert n == len(staged)
+    assert not glob.glob(os.path.join(root, "pages", "data", "**", "*.parquet"),
+                         recursive=True)
+    assert not glob.glob(os.path.join(root, "pages", "manifests", "*.json")), (
+        "orphan manifest of the aborted publish must be reclaimed too"
+    )
+    eng.hosts.vacuum_orphans(older_than_s=0)
+
+    # the epoch was never group-committed: a clean engine re-runs it
+    eng2 = MultiTableEngine(spark, wal, root, epoch_size=3_000)
+    results = eng2.run()
+    assert results and not results[0].skipped
+    assert eng2.read_pages().count() > 0
+    # committed state survives a subsequent vacuum untouched
+    assert eng2.pages.vacuum_orphans(older_than_s=0) == 0

@@ -69,3 +69,33 @@ def test_plan_has_no_nested_loop(spark, frames):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_overlapping_columns_rejected(spark, frames):
+    pts, iv = frames
+    bad = iv.withColumnRenamed("interval_id", "point_id")  # collides
+    with pytest.raises(ValueError, match="share column names"):
+        interval_join(pts, bad, "ts", "w_start", "w_end")
+
+
+def test_left_join_null_left_columns(spark):
+    """A left row with a NULL in a non-join column must not appear both
+    matched and null-filled (the anti side must use null-safe equality)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(None, t0 + dt.timedelta(seconds=10)),  # matches, null tag
+         (7, t0 + dt.timedelta(seconds=10)),     # matches
+         (None, t0 + dt.timedelta(days=30))],    # no match, null tag
+        "tag int, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(seconds=60))],
+        "interval_id int, w_start timestamp, w_end timestamp",
+    )
+    out = interval_join(pts, iv, "ts", "w_start", "w_end", how="left").collect()
+    assert len(out) == 3
+    matched = [r for r in out if r["interval_id"] is not None]
+    unmatched = [r for r in out if r["interval_id"] is None]
+    assert len(matched) == 2 and len(unmatched) == 1

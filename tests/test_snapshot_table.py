@@ -330,3 +330,39 @@ def test_tombstone_retention_window(spark, tmp_path, tmp_table):
         F.col("url") == "https://a.example.com/x"
     ).count() == 0
     assert eng3.read_table().count() == live_before
+
+
+def test_append_log_short_write_loops_and_failure_keeps_offset(tmp_path, monkeypatch):
+    """os.pwrite returning short counts must not lose committed bytes:
+    the append loops until the whole line is durable, and a write that
+    cannot proceed raises WITHOUT advancing the valid offset — the
+    partial tail is repaired like any torn write."""
+    from ethereum_etl_spark.operators.snapshot_table import AppendLog
+
+    p = str(tmp_path / "ledger.jsonl")
+    log = AppendLog(p)
+    log.append({"epoch_id": 0, "end_seq": 9})
+
+    real_pwrite = os.pwrite
+
+    def dribble(fd, data, offset):  # at most 5 bytes per syscall
+        return real_pwrite(fd, data[:5], offset)
+
+    monkeypatch.setattr(os, "pwrite", dribble)
+    log.append({"epoch_id": 1, "end_seq": 19})
+    monkeypatch.undo()
+    assert [e["epoch_id"] for e in AppendLog(p).entries()] == [0, 1]
+
+    def broken(fd, data, offset):
+        return 0
+
+    monkeypatch.setattr(os, "pwrite", broken)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="short write"):
+        log.append({"epoch_id": 2, "end_seq": 29})
+    monkeypatch.undo()
+    # offset not advanced: the failed entry is absent, the next append
+    # truncates any partial bytes and commits cleanly
+    log.append({"epoch_id": 3, "end_seq": 39})
+    assert [e["epoch_id"] for e in AppendLog(p).entries()] == [0, 1, 3]
