@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ethereum_etl_spark.functions.extract import extract_text_udf
-from ethereum_etl_spark.operators.lww import lww_agg
+from ethereum_etl_spark.operators.lww import lww_winner_seqs
 from ethereum_etl_spark.operators.snapshot_table import (
     BUCKET_COL,
     TOMBSTONE_COL,
@@ -236,11 +236,24 @@ class MultiTableEngine:
         n_events = slice_df.count()
 
         # -- branch 1: pages (LWW winners → extract → MoR grouped delta),
-        #    schema version resolved per epoch from the registry ---------
+        #    schema version resolved per epoch from the registry.
+        #    SAME winner plan as the single-table engine (plans/
+        #    engine.py MoR path): winning seqs from ONE partial-agg
+        #    shuffle of 128-bit key fingerprints over a payload-FREE
+        #    projection, payload fetched once by a broadcast seq
+        #    equi-join — html never crosses a shuffle. (The previous
+        #    lww_agg(slice_df) joined winners back against the
+        #    payload-carrying slice on (url, warc_ts, seq): at test
+        #    scale AQE broadcasts the winner side, but at 1M keys/epoch
+        #    the payload would cross the wire the flagship path proved
+        #    avoidable.)
         pages_version = self.pages_registry.version_at(hi)
         pages_schema = schema_for_version(self.pages_registry, pages_version)
         pages_cols = [f.name for f in pages_schema.fields] + [TOMBSTONE_COL]
-        winners = lww_agg(slice_df, key_cols=("url",), version_cols=("warc_ts", "seq"))
+        seqs = lww_winner_seqs(slice_df.select("seq", "url", "warc_ts")).select("seq")
+        if n_events <= 2_000_000:  # winner seqs ≤ events: ~8 B/key
+            seqs = F.broadcast(seqs)
+        winners = slice_df.join(seqs, on="seq", how="inner")
         winners = winners.withColumn(
             "text",
             F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
@@ -381,27 +394,73 @@ class MultiTableEngine:
         )
 
     def changes_hosts(
-        self, from_snapshot: str | None, to_snapshot: str | None = None
+        self,
+        from_snapshot: str | None,
+        to_snapshot: str | None = None,
+        stats_out: dict | None = None,
     ) -> DataFrame | None:
-        """Net changes of the ``host_stats`` dim between two snapshots.
+        """Net changes of the ``host_stats`` dim between two snapshots,
+        planned from the MANIFEST DIFF — work ∝ buckets touched in the
+        window, not ∝ dim size.
 
-        The dim is an aggregate (no per-row version), so this is the
-        generic ``state_diff`` over the two time-travel reads compared
-        on ALL value columns — cost ∝ dim size, the honest bound for a
-        versionless state. Rows whose aggregate values are unchanged
-        emit nothing even if their bucket was rewritten in the window.
+        The dim's merge is touched-bucket copy-on-write, so every row
+        that changed in the window lives in a file ADDED in the window
+        (files of untouched buckets carry over verbatim). Candidates are
+        therefore B's rows of exactly those buckets, and the A-side
+        probe reads only the SAME buckets' files from snapshot A — at
+        10^8 hosts a feed poll scans the window's buckets, never the
+        dim. Each changed host's aggregate rows still compare on ALL
+        value columns (``last_seq`` strictly advances whenever a host is
+        touched, so the compare is equivalent to a version check; a row
+        carried into a rewritten bucket unchanged emits nothing).
+
+        ``stats_out`` (optional dict) receives ``files_scanned`` /
+        ``files_total`` for observability and tests.
         """
-        from ethereum_etl_spark.operators.changes import state_diff
+        from ethereum_etl_spark.operators.changes import CHANGE_TYPE_COL, state_diff
 
-        def _read(sid):
-            df = self.hosts.read(snapshot_id=sid)
-            return None if df is None else df.drop(BUCKET_COL, TOMBSTONE_COL)
-
-        b = _read(to_snapshot) if to_snapshot is not None else self.read_hosts()
-        if b is None:
+        snap_b = (
+            self.hosts.read_snapshot_meta(to_snapshot)
+            if to_snapshot is not None
+            else self.hosts.current_snapshot()
+        )
+        if snap_b is None:
             return None
-        a = _read(from_snapshot) if from_snapshot is not None else None
-        value_cols = [c for c in b.columns if c != "host"]
+        snap_a = (
+            self.hosts.read_snapshot_meta(from_snapshot)
+            if from_snapshot is not None
+            else None
+        )
+        a_paths = {f.path for f in snap_a.files} if snap_a is not None else set()
+        new_files = [f for f in snap_b.files if f.path not in a_paths]
+        buckets = {f.bucket for f in new_files}
+        a_files = (
+            [f for f in snap_a.files if f.bucket in buckets]
+            if snap_a is not None
+            else []
+        )
+        if stats_out is not None:
+            stats_out["files_scanned"] = len(new_files) + len(a_files)
+            stats_out["files_total"] = len(snap_b.files) + (
+                len(snap_a.files) if snap_a is not None else 0
+            )
+        value_cols = [c for c in _HOST_COLS if c != "host"]
+        if not new_files:
+            empty = T.StructType(
+                [HOST_STATS_SCHEMA["host"], T.StructField(CHANGE_TYPE_COL, T.StringType())]
+                + [HOST_STATS_SCHEMA[c] for c in value_cols]
+            )
+            return self.spark.createDataFrame([], empty)
+        b_cand = self.hosts._read_files(new_files, 1).drop(BUCKET_COL, TOMBSTONE_COL)
+        a_side = (
+            self.hosts._read_files(a_files, 1) if a_files else None
+        )
+        if a_side is not None:
+            a_side = a_side.drop(BUCKET_COL, TOMBSTONE_COL)
         return state_diff(
-            a, b, key_cols=("host",), version_cols=value_cols, payload_cols=value_cols
+            a_side,
+            b_cand,
+            key_cols=("host",),
+            version_cols=value_cols,
+            payload_cols=value_cols,
         )

@@ -304,3 +304,43 @@ def test_vacuum_reclaims_aborted_multitable_publish(spark, tmp_path):
     assert eng2.read_pages().count() > 0
     # committed state survives a subsequent vacuum untouched
     assert eng2.pages.vacuum_orphans(older_than_s=0) == 0
+
+
+def test_changes_hosts_plans_only_window_files(spark, tmp_path):
+    """The hosts feed sources candidates from the manifest diff: a
+    single-host window must plan only the touched bucket's files (A and
+    B side), not the whole dim — with output identical to the value
+    compare (exactly that host's update row)."""
+    from ethereum_etl_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    wal = str(tmp_path / "wal_hf")
+    write_wal(gen_wal(spark, WalConfig(n_events=2_000, n_urls=400)), wal, n_files=2)
+    root = str(tmp_path / "multi_hf")
+    eng = MultiTableEngine(spark, wal, root, epoch_size=2_000)
+    eng.run()
+    snap_a = eng.hosts.current_snapshot().snapshot_id
+
+    rows = [
+        (2_000 + i, "update", "https://site-7.example.com/page/7",
+         pd.Timestamp("2024-01-02", tz="UTC").to_pydatetime(), b"<html>x</html>", None)
+        for i in range(5)
+    ]
+    spark.createDataFrame(rows, schema=CHANGE_EVENT_SCHEMA).write.mode("append").parquet(wal)
+    eng2 = MultiTableEngine(spark, wal, root, epoch_size=2_000)
+    eng2.run()
+
+    stats: dict = {}
+    got = eng2.changes_hosts(snap_a, stats_out=stats).toPandas()
+    assert stats["files_scanned"] < stats["files_total"], stats
+    assert list(got["host"]) == ["site-7.example.com"]
+    assert list(got["change_type"]) == ["update_postimage"]
+    assert int(got["n_updates"].iloc[0]) == int(
+        _expected_hosts(spark.read.parquet(wal).toPandas())
+        .set_index("host").loc["site-7.example.com", "n_updates"]
+    )
+
+    # empty window: no files added, zero-row feed, zero files planned
+    stats2: dict = {}
+    snap_b = eng2.hosts.current_snapshot().snapshot_id
+    empty = eng2.changes_hosts(snap_b, snap_b, stats_out=stats2)
+    assert empty.count() == 0 and stats2["files_scanned"] == 0

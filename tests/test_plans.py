@@ -84,3 +84,33 @@ def test_grouped_delta_write_plan_has_no_shuffle(spark, tmp_path, tmp_table):
     # rows' plan must contain a BroadcastHashJoin and no sort-merge join
     assert "BroadcastHashJoin" in captured[0]
     assert "SortMergeJoin" not in captured[0]
+
+
+def test_multi_table_pages_write_plan_has_no_payload_shuffle(spark, tmp_path):
+    """The multi-table pages branch must use the SAME winner-seqs +
+    broadcast seq equi-join shape as the single-table MoR path: the
+    staged rows' plan joins payload by BroadcastHashJoin on seq (never
+    a sort-merge join, which would shuffle+sort html bytes)."""
+    from ethereum_etl_spark.operators.snapshot_table import SnapshotTable
+    from ethereum_etl_spark.plans.multi import MultiTableEngine
+
+    p = str(tmp_path / "wal_multi_plan")
+    write_wal(gen_wal(spark, WalConfig(n_events=3_000, n_urls=400)), p, n_files=2)
+
+    captured: list[str] = []
+    orig = SnapshotTable.stage_delta_grouped
+
+    def spy(self, new_rows, *a, **kw):
+        captured.append(_executed_plan(new_rows))
+        return orig(self, new_rows, *a, **kw)
+
+    SnapshotTable.stage_delta_grouped = spy
+    try:
+        MultiTableEngine(
+            spark, p, str(tmp_path / "multi_plan"), epoch_size=3_000
+        ).run()
+    finally:
+        SnapshotTable.stage_delta_grouped = orig
+    assert captured
+    assert "BroadcastHashJoin" in captured[0]
+    assert "SortMergeJoin" not in captured[0]
