@@ -47,6 +47,16 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                         '{"schema_version": int, "effective_seq": int, '
                         '"change": {...}} objects (north rule: registry-'
                         "driven schema-update DDL)")
+    p.add_argument("--tombstone-retention-seqs", type=int, default=None,
+                   metavar="N",
+                   help="drop tombstones older than N seqs below the high "
+                        "watermark during compaction (deleted keys stop "
+                        "accumulating forever). Default: 20x epoch size — "
+                        "far beyond any replay/out-of-order horizon an "
+                        "epoch-ordered WAL can deliver, and the documented "
+                        "change-feed rule is retention > consumer polling "
+                        "lag (a window-crossing expiry falls back to a "
+                        "full diff). Pass -1 to retain tombstones forever")
     p.add_argument("--audits", default=None, metavar="PATH",
                    help="JSON file with write-audit-publish constraints "
                         "evaluated over each epoch's STAGED files before "
@@ -78,12 +88,18 @@ def _build_engine(args):
     if getattr(args, "audits", None):
         with open(args.audits) as f:
             audits = json.load(f)
+    retention = getattr(args, "tombstone_retention_seqs", None)
+    if retention is None:
+        retention = 20 * args.epoch_size  # default replay window
+    elif retention < 0:
+        retention = None  # -1: retain forever (the old conservative mode)
     cfg = EngineConfig(
         epoch_size=args.epoch_size,
         n_buckets=args.n_buckets,
         lww_method=args.lww_method,
         n_salt=args.n_salt,
         audits=audits,
+        tombstone_retention_seqs=retention,
     )
     registry = _load_registry(args.schema_changes)
     if registry is not None:
@@ -333,7 +349,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "compact":
         depth_before = engine.table.delta_depth()
-        sid = engine.table.compact_buckets()
+        sid = engine.table.compact_buckets(
+            tombstone_retention_seqs=engine.config.tombstone_retention_seqs
+        )
         expired = (
             engine.table.expire_snapshots(keep_last=args.expire_keep_last)
             if args.expire_keep_last is not None

@@ -93,12 +93,68 @@ def canonical_url(url: str | Column) -> Column:
     return F.when(scheme == "", u).otherwise(canon)
 
 
+#: Two-label PUBLIC suffixes (publicsuffix.org data, the high-traffic
+#: subset): a host ending in one of these registers at the THIRD label
+#: (bbc.co.uk, not co.uk). Shipped as a data literal so the expression
+#: stays pure codegen (a constant IN set); the full ~9k-rule PSL with
+#: wildcard/exception rules would swap in as a broadcast map join with
+#: the same output column shape.
+_PSL_TWO_LABEL = frozenset({
+    # UK / IE
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk", "mod.uk",
+    # Japan
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "gob.mx", "edu.mx", "net.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "com.pe", "com.ve", "com.uy", "com.ec", "com.bo", "com.py",
+    # Asia
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
+    "com.ph", "net.ph", "org.ph", "com.vn", "net.vn", "org.vn",
+    "com.pk", "net.pk", "org.pk", "com.bd", "com.np", "com.lk",
+    # Europe / Africa / MEA
+    "com.tr", "net.tr", "org.tr", "gen.tr", "web.tr", "edu.tr", "gov.tr",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za",
+    "com.eg", "com.sa", "com.ae", "com.qa", "com.kw", "com.ng",
+    "co.ke", "or.ke", "ac.ke", "go.ke", "co.tz", "co.ug", "com.gh",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "waw.pl",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "com.ua", "net.ua", "org.ua", "in.ua", "kiev.ua",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "com.ro", "com.es", "nom.es", "org.es", "gob.es",
+})
+
+
 def registered_domain(host: str | Column) -> Column:
-    """Registrable-domain heuristic: last two dot-labels of the host
-    (example.com from www.example.com). A production build swaps in the
-    public-suffix list via a broadcast map; the column shape and the
-    grouping it feeds are identical."""
-    parts = F.split(_c(host), r"\.")
-    return F.when(
-        F.size(parts) <= 2, _c(host)
-    ).otherwise(F.array_join(F.slice(parts, -2, 2), "."))
+    """Registrable domain of a host per the public-suffix list (the
+    shipped two-label-suffix subset, see ``_PSL_TWO_LABEL``): one label
+    below the public suffix — ``example.com`` from ``www.example.com``,
+    ``bbc.co.uk`` from ``news.bbc.co.uk``. Hosts at or below a public
+    suffix (or single-label hosts) pass through unchanged. Pure codegen
+    column expressions: split + constant IN set, zero Python, zero
+    shuffle."""
+    h = _c(host)
+    parts = F.split(h, r"\.")
+    last2 = F.array_join(F.slice(parts, -2, 2), ".")
+    last3 = F.array_join(F.slice(parts, -3, 3), ".")
+    return (
+        F.when(F.size(parts) <= 2, h)
+        .when(last2.isin(*sorted(_PSL_TWO_LABEL)), last3)
+        .otherwise(last2)
+    )

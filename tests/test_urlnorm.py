@@ -42,6 +42,13 @@ def test_registered_domain(spark):
         ("a.b.c.example.org", "example.org"),
         ("example.com", "example.com"),
         ("localhost", "localhost"),
+        # public-suffix cases: registrable = one label below the suffix
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("www.shop.example.co.jp", "example.co.jp"),
+        ("blog.example.com.au", "example.com.au"),
+        ("deep.sub.example.co.za", "example.co.za"),
+        # at/below the suffix: pass through (no registrable domain)
+        ("co.uk", "co.uk"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in rows], ["h"])
     got = [r["d"] for r in df.select(registered_domain("h").alias("d")).collect()]
