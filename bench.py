@@ -168,27 +168,40 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: timed interleaved rounds for the query leg (after one warmup round)
+QUERY_ROUNDS = int(os.environ.get("BENCH_QUERY_ROUNDS", "3"))
+
+
 def run_headline() -> dict[str, float]:
-    """Steady-state query wall: each query runs twice and the min is
-    reported. The first execution of a plan pays Janino/JIT codegen
-    compilation (measured ~7s for the widest minhash kernels —
-    data-size-independent), which at production scale amortizes to zero;
-    best-of-2 in one session is the standard steady-state methodology.
-    Both raw passes are reported alongside."""
+    """Steady-state query wall under the SAME variance protocol as the
+    apply leg (adopted round 4 — the r3 record regressed 4 queries >2x
+    with unchanged plans because both of a query's back-to-back passes
+    landed in one contended host window):
+
+    - one UNTIMED warmup round runs every query once — Janino/JIT
+      codegen (~7s for the widest kernels, data-size-independent, zero
+      at production scale) never contaminates a timed pass;
+    - then QUERY_ROUNDS timed rounds, INTERLEAVED across queries (round
+      = run all queries once), so one multi-second hypervisor stall can
+      contaminate at most one of each query's passes instead of all of
+      them; per-query min over rounds is reported (stalls only ever ADD
+      time), with every raw pass published alongside.
+
+    The stopping rule is result-independent: a fixed round count set up
+    front."""
     import __spark_entry__ as entrymod
 
     spark = make_spark(CPUS, "bench-queries")
     qs = entrymod.queries()
-    times: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(2):
+    for name in HEADLINE:  # warmup: codegen + file-listing caches
+        _materialize(qs[name](spark, SF_DIR))
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(QUERY_ROUNDS):
+        for name in HEADLINE:
             t0 = time.time()
             _materialize(qs[name](spark, SF_DIR))
-            runs.append(round(time.time() - t0, 3))
-        raw[name] = runs
-        times[name] = min(runs)
+            raw[name].append(round(time.time() - t0, 3))
+    times = {name: min(runs) for name, runs in raw.items()}
     spark.stop()
     return times, raw
 
@@ -397,7 +410,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query wall (sum, steady-state best-of-2) + CDC MoR apply events/sec at N vs 4N cores",
+                "metric": "headline query wall (sum, warm best-of-3 interleaved rounds) + CDC MoR apply events/sec at N vs 4N cores",
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
