@@ -227,6 +227,18 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--epoch-size", type=int, default=50_000)
     m.add_argument("--cores", type=int, default=None)
 
+    mc = sub.add_parser("multi-changes", help="incremental change feeds of the "
+                        "fan-out tables: pages via the manifest-diff LWW feed, "
+                        "host_stats via the touched-bucket manifest diff — both "
+                        "∝ window writes, not table size")
+    mc.add_argument("--wal", required=True)
+    mc.add_argument("--root", required=True)
+    mc.add_argument("--table", default="pages", choices=["pages", "host_stats"])
+    mc.add_argument("--from-epoch", type=int, required=True,
+                    help="group-ledger epoch_id the consumer last saw; the "
+                         "feed covers (that epoch's snapshots, current]")
+    mc.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "multi":
@@ -248,6 +260,41 @@ def main(argv: list[str] | None = None) -> int:
             "pages_rows": pages.count() if pages is not None else 0,
             "host_rows": hosts.count() if hosts is not None else 0,
         }))
+        return 0
+
+    if args.cmd == "multi-changes":
+        from pyspark.sql import functions as F
+
+        from ethereum_etl_spark.plans.multi import MultiTableEngine
+        from ethereum_etl_spark.session import get_spark
+
+        spark = get_spark(cores=args.cores)
+        eng = MultiTableEngine(spark, args.wal, args.root)
+        entry = next(
+            (e for e in eng.group_entries() if e["epoch_id"] == args.from_epoch),
+            None,
+        )
+        if entry is None:
+            print(json.dumps({"error": "unknown_epoch", "epoch_id": args.from_epoch}))
+            return 2
+        from_sid = entry["tables"][args.table]
+        stats: dict = {}
+        if args.table == "pages":
+            feed = eng.changes_pages(from_sid)
+        else:
+            feed = eng.changes_hosts(from_sid, stats_out=stats)
+        counts = {
+            r["change_type"]: r["n"]
+            for r in feed.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+        }
+        out = {
+            "table": args.table,
+            "from_snapshot": from_sid,
+            "rows": int(sum(counts.values())),
+            "by_type": counts,
+        }
+        out.update(stats)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "gen":
