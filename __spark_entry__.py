@@ -939,31 +939,56 @@ def q_ann_recall(spark, sf_dir):
     verifies BOTH the brute-force ranking (row-for-row vs the oracle's
     quadratic top-k) and the LSH path's recall floor: if multi-probe
     LSH ever degrades below the gate, recall_ok flips to false and the
-    driver row goes red. The oracle asserts TRUE unconditionally — it
-    cannot run LSH, but it doesn't need to: only the CLAIM (recall ≥
-    gate) is checked, and the claim is computed from two independently
-    planned Spark jobs."""
-    from ethereum_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+    driver row goes red. ``ivf_recall_ok`` gates the IVF path the same
+    way. The oracle asserts TRUE unconditionally — it cannot run the
+    ANN plans, but it doesn't need to: only the CLAIM (recall ≥ gate)
+    is checked, and the claim is computed from independently planned
+    Spark jobs."""
+    from ethereum_etl_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf,
+        ivf_topk,
+        lsh_topk,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = brute_force_topk(e, q, k=10)
-    ann = lsh_topk(e, q, k=10, dim=64, n_planes=10, n_tables=6)
-    hits = exact.select("query_id", "vec_id").join(
-        ann.select("query_id", "vec_id"), on=["query_id", "vec_id"], how="left_semi"
+    # truncate lineage: `exact` feeds three consumers and the IVF build
+    # is a deep multi-window DAG — without checkpoints every consumer
+    # re-executes the whole chain (measured 129s vs ~25s at sf0.01)
+    exact = brute_force_topk(e, q, k=10).localCheckpoint()
+    assigned, centroids = build_ivf(e, n_lists=8)
+    assigned, centroids = assigned.localCheckpoint(), centroids.localCheckpoint()
+
+    def recall_flag(ann, name):
+        hits = exact.select("query_id", "vec_id").join(
+            ann.select("query_id", "vec_id"),
+            on=["query_id", "vec_id"],
+            how="left_semi",
+        )
+        return hits.groupBy("query_id").agg(
+            ((F.count("*") / F.lit(10.0)) >= 0.6).alias(name)
+        )
+
+    lsh_flag = recall_flag(
+        lsh_topk(e, q, k=10, dim=64, n_planes=10, n_tables=6), "recall_ok"
     )
-    recall = hits.groupBy("query_id").agg(
-        (F.count("*") / F.lit(10.0)).alias("__recall")
+    ivf_flag = recall_flag(
+        ivf_topk(assigned, centroids, q, k=10, n_probe=4), "ivf_recall_ok"
     )
-    flag = recall.select("query_id", (F.col("__recall") >= 0.6).alias("recall_ok"))
-    return exact.join(flag, on="query_id", how="left").select(
-        "query_id",
-        "vec_id",
-        F.round("cosine", 6).alias("cosine"),
-        F.col("rank").cast("long").alias("rank"),
-        F.coalesce("recall_ok", F.lit(False)).alias("recall_ok"),
+    return (
+        exact.join(lsh_flag, on="query_id", how="left")
+        .join(ivf_flag, on="query_id", how="left")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+            F.coalesce("recall_ok", F.lit(False)).alias("recall_ok"),
+            F.coalesce("ivf_recall_ok", F.lit(False)).alias("ivf_recall_ok"),
+        )
     )
 
 
@@ -2038,7 +2063,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal": """
             SELECT range AS media_id,
-                   'image/png' AS mime,
+                   CASE (range // 3) % 3 WHEN 0 THEN 'image/png'
+                        WHEN 1 THEN 'image/jpeg'
+                        ELSE 'image/gif' END AS mime,
                    CAST(1 + range % 64 AS BIGINT) AS width,
                    CAST(1 + range % 48 AS BIGINT) AS height
             FROM range(200) WHERE range % 3 = 0
@@ -2102,7 +2129,7 @@ def oracle_sql() -> dict[str, str]:
                               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS cos
                        FROM c CROSS JOIN q)
             SELECT query_id, vec_id, round(cos, 6) AS cosine, rank,
-                   TRUE AS recall_ok
+                   TRUE AS recall_ok, TRUE AS ivf_recall_ok
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                           ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
             WHERE rank <= 10

@@ -115,6 +115,131 @@ def decode_png_header(b: bytes | None) -> tuple[int, int] | None:
     return int(w), int(h)
 
 
+def encode_jpeg_shell(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal REAL-STRUCTURE baseline JPEG (pure stdlib: struct).
+
+    Emits a spec-shaped marker stream — SOI, APP0/JFIF, DQT, SOF0 with
+    the true dimensions (3 components, 8-bit), DHT, SOS, deterministic
+    entropy-coded bytes, EOI. The MARKER STRUCTURE is what real JPEG
+    metadata readers walk and is fully valid; the entropy segment is
+    deterministic opaque bytes, not a real Huffman scan (same honest
+    posture as the AVI container: structure real, payload opaque).
+    """
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xFFDB, b"\x00" + bytes((i % 255) + 1 for i in range(64)))
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01",
+    )
+    dht = seg(0xFFC4, b"\x00" + bytes(16) + b"")
+    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    # entropy bytes drawn mod 255 are never 0xFF, so no marker can be
+    # forged inside the scan and no 0xFF-escape is needed
+    ent = bytearray()
+    for i in range(32 + (width * height) % 64):
+        ent.append((i * 89 + seed) % 255)
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + bytes(ent) + b"\xff\xd9"
+
+
+def decode_jpeg_header(b: bytes | None) -> tuple[int, int] | None:
+    """REAL JPEG header decode (pure stdlib): validates SOI, walks the
+    marker segments to the first SOF0/1/2 frame header and returns its
+    (width, height). None if the payload is not a marker-valid JPEG."""
+    import struct
+
+    if b is None or len(b) < 4:
+        return None
+    b = bytes(b)
+    if b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        if pos + 4 > len(b):
+            return None
+        (length,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if length < 2 or pos + 2 + length > len(b):
+            return None
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            body = b[pos + 4 : pos + 2 + length]
+            if len(body) < 5:
+                return None
+            _prec, h, w = struct.unpack(">BHH", body[:5])
+            return int(w), int(h)
+        if marker == 0xDA:  # SOS reached without SOF: malformed
+            return None
+        pos += 2 + length
+    return None
+
+
+def encode_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal REAL GIF89a encoder (pure stdlib).
+
+    Fully spec-valid and decodable: header, logical screen descriptor,
+    128-entry global color table, image descriptor, LZW-coded pixel
+    data (min code size 7; a CLEAR code precedes every pixel code so
+    all codes stay 8-bit — valid LZW, one byte per code), trailer.
+    Pixels are deterministic ``(i*31 + seed) % 128``.
+    """
+    import struct
+
+    lsd = struct.pack("<HHBBB", width, height, 0xF6, 0, 0)  # GCT: 128 entries
+    gct = bytes((3 * i) % 256 for i in range(128 * 3))
+    imgd = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    codes = bytearray()
+    for i in range(width * height):
+        codes += bytes((0x80, (i * 31 + seed) % 128))  # CLEAR, pixel
+    codes.append(0x81)  # end-of-information
+    blocks = bytearray([7])  # LZW minimum code size
+    for off in range(0, len(codes), 255):
+        part = codes[off : off + 255]
+        blocks += bytes([len(part)]) + part
+    blocks.append(0)  # block terminator
+    return b"GIF89a" + lsd + gct + imgd + bytes(blocks) + b"\x3b"
+
+
+def decode_gif_header(b: bytes | None) -> tuple[int, int] | None:
+    """REAL GIF header decode (pure stdlib): validates the GIF87a/89a
+    signature and returns the logical screen (width, height)."""
+    import struct
+
+    if b is None or len(b) < 13:
+        return None
+    b = bytes(b)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    return int(w), int(h)
+
+
+def decode_image_header(b: bytes | None) -> tuple[int, int, str] | None:
+    """Dispatch on the payload's magic bytes: (width, height, format)
+    via the real PNG / JPEG / GIF parsers; None if none match."""
+    d = decode_png_header(b)
+    if d is not None:
+        return d[0], d[1], "png"
+    d = decode_jpeg_header(b)
+    if d is not None:
+        return d[0], d[1], "jpeg"
+    d = decode_gif_header(b)
+    if d is not None:
+        return d[0], d[1], "gif"
+    return None
+
+
 def encode_wav(
     n_frames: int, sample_rate: int = 8000, channels: int = 1, seed: int = 0
 ) -> bytes:
@@ -339,9 +464,11 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 def image_features(df: DataFrame, strict: bool = False, feature_dim: int = 8) -> DataFrame:
     """decode + feature-extract stage: media rows → per-image features.
 
-    PNG payloads are decoded FOR REAL (header walk + CRC check,
-    ``decode_png_header``); other formats fall back to a deterministic
-    fake (``strict=True`` raises for them instead). The Arrow plumbing —
+    PNG, JPEG and GIF payloads are decoded FOR REAL (magic-byte
+    dispatch, ``decode_image_header``: PNG = IHDR walk + CRC check,
+    JPEG = marker walk to SOF0/1/2, GIF = signature + logical screen
+    descriptor); other formats fall back to a deterministic fake
+    (``strict=True`` raises for them instead). The Arrow plumbing —
     batch iterator, schema, payload pruning — is identical either way.
     """
 
@@ -349,12 +476,12 @@ def image_features(df: DataFrame, strict: bool = False, feature_dim: int = 8) ->
         def dims_of(b):
             if b is None:
                 return (None, None)
-            real = decode_png_header(bytes(b))
+            real = decode_image_header(bytes(b))
             if real is not None:
-                return real
+                return real[0], real[1]
             if strict:
                 raise NotImplementedError(
-                    "only PNG decode is available in this container"
+                    "only PNG/JPEG/GIF decode is available in this container"
                 )
             return _fake_decode_dims(bytes(b))
 
@@ -456,11 +583,12 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     40 ms/frame — so the decode/demux outputs are expressible as ANSI
     SQL and the driver can oracle-check them (an earlier xxhash64-seeded
     variant was deterministic but not reproducible outside Spark).
-    Image rows get REAL PNG payloads (``encode_png``), audio rows REAL
-    WAV payloads (``encode_wav``), video rows REAL AVI containers
-    (``encode_avi``) via a mapInPandas pass, with ``meta`` set to the
-    true encoded parameters — so decode tests can assert the real
-    parsers against ground truth.
+    Image rows rotate through REAL PNG / marker-valid JPEG / REAL GIF
+    payloads by ``(media_id // 3) % 3`` (matching the ``mime`` column),
+    audio rows get REAL WAV payloads (``encode_wav``), video rows REAL
+    AVI containers (``encode_avi``) via a mapInPandas pass, with
+    ``meta`` set to the true encoded parameters — so decode tests can
+    assert the real parsers against ground truth.
     """
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     df = spark.range(n).withColumnRenamed("id", "media_id")
@@ -477,7 +605,13 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         "media_id",
         kind.alias("kind"),
         payload.alias("payload"),
-        F.when(F.col("media_id").isNotNull() & (kind == "image"), F.lit("image/png"))
+        F.when(
+            kind == "image",
+            F.element_at(
+                F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("image/gif")),
+                ((mid / 3).cast("long") % 3 + 1).cast("int"),
+            ),
+        )
         .otherwise(F.concat(F.lit("application/"), kind))
         .alias("mime"),
         F.struct(
@@ -496,7 +630,13 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 m = dict(metas[i])
                 if k == "image":
                     w, h = 1 + mid % 64, 1 + mid % 48
-                    payloads[i] = encode_png(w, h, seed=mid)
+                    fmt = (mid // 3) % 3  # matches the JVM-side mime column
+                    if fmt == 0:
+                        payloads[i] = encode_png(w, h, seed=mid)
+                    elif fmt == 1:
+                        payloads[i] = encode_jpeg_shell(w, h, seed=mid)
+                    else:
+                        payloads[i] = encode_gif(w, h, seed=mid)
                     m["width"], m["height"] = w, h
                 elif k == "audio":
                     sr = 8000 * (1 + (mid // 3) % 3)

@@ -246,3 +246,33 @@ def test_compression_ratio_matches_direct_zlib(spark):
         assert got[i] == expect(t), (i, t)
     # the signal discriminates: repeated template << prose
     assert got[1] < 0.3 < got[0]
+
+
+def test_jpeg_gif_header_roundtrip():
+    """The JPEG marker walk and GIF screen-descriptor parse must
+    round-trip their encoders for real, reject junk, and dispatch
+    correctly from magic bytes."""
+    from ethereum_etl_spark.functions.multimodal import (
+        decode_gif_header,
+        decode_image_header,
+        decode_jpeg_header,
+        encode_gif,
+        encode_jpeg_shell,
+        encode_png,
+    )
+
+    for w, h in [(1, 1), (64, 48), (640, 480), (1, 1080)]:
+        assert decode_jpeg_header(encode_jpeg_shell(w, h, seed=w * h)) == (w, h)
+        assert decode_gif_header(encode_gif(w, h, seed=w)) == (w, h)
+    assert decode_jpeg_header(b"\xff\xd8\xff") is None
+    assert decode_jpeg_header(b"GIF89a......") is None
+    assert decode_gif_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30) is None
+    assert decode_image_header(encode_png(7, 5))[2] == "png"
+    assert decode_image_header(encode_jpeg_shell(7, 5))[2] == "jpeg"
+    assert decode_image_header(encode_gif(7, 5))[2] == "gif"
+    assert decode_image_header(b"not an image at all") is None
+    # GIF payload is fully decodable LZW: PIL-free sanity via byte walk —
+    # data stream is CLEAR/pixel byte pairs then EOI under min-code-size 7
+    g = encode_gif(3, 2, seed=9)
+    lzw_start = 6 + 7 + 128 * 3 + 10  # header+LSD+GCT+image descriptor
+    assert g[lzw_start] == 7  # LZW minimum code size
