@@ -162,6 +162,13 @@ def decode_jpeg_header(b: bytes | None) -> tuple[int, int] | None:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
+        # any number of 0xFF fill bytes may pad the gap before a marker
+        # (ITU-T T.81 §B.1.1.2); skip them so real-world padded JPEGs
+        # don't get rejected by the walk
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(b):
+            return None
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI before any SOF
             return None

@@ -120,6 +120,7 @@ class MultiTableEngine:
         pages_registry: SchemaRegistry | None = None,
         host_n_buckets: int = 16,
         crash_points: set | None = None,
+        tombstone_retention_seqs: int | None = None,
     ):
         self.spark = spark
         self.wal_path = wal_path
@@ -127,6 +128,9 @@ class MultiTableEngine:
         self.epoch_size = epoch_size
         self.compact_max_deltas = compact_max_deltas
         self.compact_groups_per_epoch = compact_groups_per_epoch
+        # mirror EngineConfig: retention-on is the stated posture for the
+        # 10^10-churn target; None = retain tombstones forever
+        self.tombstone_retention_seqs = tombstone_retention_seqs
         self.crash_points = crash_points or set()
         os.makedirs(root, exist_ok=True)
         self.pages_registry = pages_registry or SchemaRegistry(base_schema=PAGES_SCHEMA_V1)
@@ -358,7 +362,10 @@ class MultiTableEngine:
                 key=lambda g: -depth[g],
             )[: max(self.compact_groups_per_epoch, 1)]
             if deep:
-                self.pages.compact_groups(set(deep))
+                self.pages.compact_groups(
+                    set(deep),
+                    tombstone_retention_seqs=self.tombstone_retention_seqs,
+                )
         return MultiEpochResult(epoch_id, lo, hi, n_events, snapshots)
 
     def run(self) -> list[MultiEpochResult]:
@@ -451,9 +458,16 @@ class MultiTableEngine:
                 + [HOST_STATS_SCHEMA[c] for c in value_cols]
             )
             return self.spark.createDataFrame([], empty)
-        b_cand = self.hosts._read_files(new_files, 1).drop(BUCKET_COL, TOMBSTONE_COL)
+        # read each side at ITS OWN snapshot's schema version (a literal
+        # would silently read stale-schema files if host_stats ever gains
+        # a v2 while the write path uses version_at)
+        b_cand = self.hosts._read_files(
+            new_files, snap_b.schema_version
+        ).drop(BUCKET_COL, TOMBSTONE_COL)
         a_side = (
-            self.hosts._read_files(a_files, 1) if a_files else None
+            self.hosts._read_files(a_files, snap_a.schema_version)
+            if a_files
+            else None
         )
         if a_side is not None:
             a_side = a_side.drop(BUCKET_COL, TOMBSTONE_COL)

@@ -266,6 +266,15 @@ def test_jpeg_gif_header_roundtrip():
         assert decode_gif_header(encode_gif(w, h, seed=w)) == (w, h)
     assert decode_jpeg_header(b"\xff\xd8\xff") is None
     assert decode_jpeg_header(b"GIF89a......") is None
+    # 0xFF fill bytes between marker segments are legal (ITU-T T.81
+    # §B.1.1.2): pad every inter-segment gap and the walk must still
+    # find SOF0
+    plain = encode_jpeg_shell(33, 17, seed=9)
+    rest = plain[2:]
+    sof_at = rest.find(b"\xff\xc0")
+    assert sof_at > 0
+    padded = b"\xff\xd8\xff\xff" + rest[:sof_at] + b"\xff\xff\xff" + rest[sof_at:]
+    assert decode_jpeg_header(padded) == (33, 17)
     assert decode_gif_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30) is None
     assert decode_image_header(encode_png(7, 5))[2] == "png"
     assert decode_image_header(encode_jpeg_shell(7, 5))[2] == "jpeg"
