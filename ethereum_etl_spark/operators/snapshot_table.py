@@ -878,7 +878,48 @@ class SnapshotTable:
             }
         )
 
-    def vacuum_orphans(self, older_than_s: float = 3600.0) -> int:
+    # ------------------------------------------------------------------
+    # Consumer checkpoint registry (change-feed retention coupling)
+    # ------------------------------------------------------------------
+
+    def register_consumer(self, consumer_id: str, snapshot_id: str) -> None:
+        """Record that a change-feed consumer has committed up to
+        ``snapshot_id`` (atomic tmp+rename). ``expire_snapshots``
+        keeps every registered consumer's pinned snapshot alive so a
+        lagging consumer's next incremental poll never plans against a
+        deleted manifest (ChangesStream.commit calls this)."""
+        cdir = os.path.join(self.root, "consumers")
+        os.makedirs(cdir, exist_ok=True)
+        tmp = os.path.join(cdir, f".{consumer_id}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"consumer_id": consumer_id, "snapshot_id": snapshot_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(cdir, f"{consumer_id}.json"))
+
+    def unregister_consumer(self, consumer_id: str) -> None:
+        path = os.path.join(self.root, "consumers", f"{consumer_id}.json")
+        if os.path.exists(path):
+            os.remove(path)
+
+    def consumer_snapshots(self) -> dict[str, str]:
+        """snapshot_id each registered consumer has committed, by id."""
+        cdir = os.path.join(self.root, "consumers")
+        if not os.path.isdir(cdir):
+            return {}
+        out: dict[str, str] = {}
+        for fn in sorted(os.listdir(cdir)):
+            if fn.endswith(".json") and not fn.startswith("."):
+                with open(os.path.join(cdir, fn)) as f:
+                    d = json.load(f)
+                out[d["consumer_id"]] = d["snapshot_id"]
+        return out
+
+    def vacuum_orphans(
+        self,
+        older_than_s: float = 3600.0,
+        extra_committed_ids: set[str] | None = None,
+    ) -> int:
         """Delete data files and manifests reachable from NO committed
         (ledger-referenced) snapshot — the residue of aborted publishes
         (crash between stage and commit, failed write-audit gates).
@@ -903,10 +944,22 @@ class SnapshotTable:
         only when no writer is running. Iceberg's remove_orphan_files
         has the identical contract (default 3-day grace). Returns files
         deleted (manifests not counted).
+
+        ``extra_committed_ids``: additional snapshot ids to treat as
+        committed liveness roots. A MultiTableEngine member's commit
+        point is the GROUP ledger: after a crash between the group
+        commit and the member-ledger reconcile, the member's own ledger
+        has no entry for a group-committed snapshot — vacuuming the
+        member root directly would reclaim it. MultiTableEngine.
+        vacuum_orphans passes the group-referenced ids here; when
+        vacuuming a multi-table member directly, go through the engine
+        (whose __init__ also reconciles, healing the gap).
         """
         committed_ids = {
             e["snapshot_id"] for e in self.read_ledger() if "snapshot_id" in e
         }
+        if extra_committed_ids:
+            committed_ids |= set(extra_committed_ids)
         cutoff = time.time() - older_than_s
         referenced: set[str] = set()
         man_dir = os.path.join(self.root, "manifests")
@@ -939,7 +992,9 @@ class SnapshotTable:
                 os.rmdir(dirpath)
         return deleted
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 1, respect_consumers: bool = True
+    ) -> int:
         """Delete data files referenced ONLY by expired snapshots
         (retention analog — reference free_space/reclaim_space,
         src/repositories/sqlite/base.py:210-238). Returns files deleted.
@@ -948,11 +1003,25 @@ class SnapshotTable:
         read of an expired snapshot fails FAST at the manifest lookup
         (clean "unknown or expired" error) instead of passing the
         manifest read and then blowing up mid-scan on missing data files.
+
+        With ``respect_consumers`` (default), every snapshot a
+        registered change-feed consumer has committed
+        (``register_consumer`` / ChangesStream) stays alive — its
+        manifest is the A-side of that consumer's next incremental
+        window, and expiring it would force the consumer into the loud
+        full-feed fallback. Pass False to expire regardless (consumers
+        then rebuild via ChangesStream.poll's missing-manifest path).
         """
         entries = self.read_ledger()
         if len(entries) <= keep_last:
             return 0
         live_ids = {e["snapshot_id"] for e in entries[-keep_last:]}
+        if respect_consumers:
+            ledger_ids = {e.get("snapshot_id") for e in entries}
+            live_ids |= {
+                sid for sid in self.consumer_snapshots().values()
+                if sid in ledger_ids
+            }
         live_files: set[str] = set()
         for sid in live_ids:
             live_files.update(f.path for f in self.read_snapshot_meta(sid).files)

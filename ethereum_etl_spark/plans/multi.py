@@ -371,6 +371,27 @@ class MultiTableEngine:
     def run(self) -> list[MultiEpochResult]:
         return [self.run_epoch(e, lo, hi) for e, lo, hi in self.plan_epochs()]
 
+    def vacuum_orphans(self, older_than_s: float = 3600.0) -> int:
+        """Vacuum every member table with the GROUP ledger's snapshot
+        ids as additional liveness roots. The group ledger is the
+        commit point: after a crash between the group commit and the
+        member-ledger reconcile, a member's own ledger lacks the entry
+        for a group-committed snapshot, and a direct
+        SnapshotTable.vacuum_orphans on that member root would reclaim
+        a committed manifest. (__init__'s reconcile() heals the gap for
+        engine-mediated access; this method makes vacuum safe even
+        against a group ledger written by a concurrent process after
+        this engine's init.) Returns total data files deleted."""
+        group_ids: dict[str, set[str]] = {name: set() for name in self._tables}
+        for entry in self.group_entries():
+            for name, sid in entry.get("tables", {}).items():
+                if name in group_ids:
+                    group_ids[name].add(sid)
+        return sum(
+            t.vacuum_orphans(older_than_s, extra_committed_ids=group_ids[name])
+            for name, t in self._tables.items()
+        )
+
     # -- read paths -----------------------------------------------------
 
     def read_pages(self) -> DataFrame | None:

@@ -22,9 +22,13 @@ transactional or idempotent per (from, to) pair.
 Windows are snapshot-aligned, not epoch-aligned: one poll may cover
 many epochs (a slow consumer gets one NET window, not a backlog of
 per-epoch feeds — late-churned keys collapse, which is exactly the
-semantics IVM wants). ``expire_snapshots`` must keep the consumer's
-last snapshot alive (retention > consumer lag — the same coupling the
-tombstone-expiry fallback enforces for correctness when violated).
+semantics IVM wants). Each ``commit`` also registers the consumer's
+snapshot with the table (``SnapshotTable.register_consumer``), and
+``expire_snapshots`` keeps registered snapshots alive by default — so
+a lagging consumer's next window stays incremental. If expiry is
+forced past the checkpoint anyway (``respect_consumers=False``),
+``poll`` detects the missing manifest and falls back LOUDLY to a full
+feed with ``from_snapshot=None`` instead of raising.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -45,10 +50,18 @@ class ChangesStream:
         engine: CDCEngine,
         checkpoint_path: str,
         preimage: bool = True,
+        consumer_id: str | None = None,
     ):
         self.engine = engine
         self.checkpoint_path = checkpoint_path
         self.preimage = preimage
+        # registered with the TABLE on every commit so expire_snapshots
+        # keeps this consumer's pinned snapshot (its next window's
+        # A-side manifest) alive; derived from the checkpoint filename
+        # by default so one checkpoint == one registration
+        self.consumer_id = consumer_id or (
+            "cs-" + os.path.basename(checkpoint_path).replace(".", "_")
+        )
 
     # -- consumer checkpoint (atomic tmp+rename; single consumer) -------
 
@@ -65,6 +78,10 @@ class ChangesStream:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.checkpoint_path)
+        # checkpoint first, registration second: a crash in between
+        # leaves the registration one snapshot behind, which only
+        # over-protects (expiry keeps one extra snapshot), never under-
+        self.engine.table.register_consumer(self.consumer_id, to_snapshot)
 
     # -- polling ---------------------------------------------------------
 
@@ -73,13 +90,36 @@ class ChangesStream:
         or None when the table has no new committed snapshot. The feed
         DataFrame is lazy; it plans against the PINNED manifests of the
         two snapshots, so concurrent engine commits can't shift the
-        window under the consumer."""
+        window under the consumer.
+
+        If the consumer's pinned snapshot was expired out from under it
+        (``expire_snapshots(respect_consumers=False)``, or a checkpoint
+        written before registration existed), the incremental plan is
+        impossible — the A-side manifest is gone. Rather than raising
+        FileNotFoundError mid-plan, this falls back LOUDLY to a full
+        feed: warns, and returns ``from_snapshot=None`` so ``apply_fn``
+        sees the whole current state as inserts and knows to rebuild
+        derived state from scratch (the same contract as a consumer's
+        very first window)."""
         cur = self.engine.table.current_snapshot()
         if cur is None:
             return None
         last = self.last_committed()
         if last == cur.snapshot_id:
             return None
+        if last is not None:
+            try:
+                self.engine.table.read_snapshot_meta(last)
+            except FileNotFoundError:
+                warnings.warn(
+                    f"ChangesStream[{self.consumer_id}]: checkpointed snapshot "
+                    f"{last} was expired; falling back to a FULL feed "
+                    f"(from_snapshot=None) — downstream state must be rebuilt. "
+                    f"Keep retention longer than consumer lag, or rely on the "
+                    f"default expire_snapshots(respect_consumers=True).",
+                    stacklevel=2,
+                )
+                last = None
         feed = self.engine.changes(last, cur.snapshot_id, preimage=self.preimage)
         return last, cur.snapshot_id, feed
 

@@ -122,3 +122,45 @@ def test_window_pins_snapshots_against_concurrent_commits(spark, tmp_path, tmp_t
     stream.commit(batch[1])
     follow = stream.poll()
     assert follow is not None and follow[0] == batch[1]
+
+
+def test_expire_keeps_consumer_snapshot_and_poll_stays_incremental(
+    spark, tmp_path, tmp_table
+):
+    """VERDICT r4 #6: aggressive expire_snapshots must not delete the
+    snapshot a registered consumer's checkpoint pins. With the default
+    respect_consumers=True the lagging consumer's next poll() is still
+    INCREMENTAL (from == its checkpoint); with respect_consumers=False
+    the poll falls back loudly (warning + from_snapshot=None) instead
+    of raising on the missing manifest."""
+    wal = str(tmp_path / "wal4")
+    write_wal(gen_wal(spark, WalConfig(n_events=3_000, n_urls=300)), wal, n_files=2)
+    eng = CDCEngine(
+        spark, wal, tmp_table, config=EngineConfig(epoch_size=1_000, n_buckets=8)
+    )
+    eng.run(up_to_seq=1_000)
+    stream = ChangesStream(eng, str(tmp_path / "c4.ckpt"))
+    assert stream.drain(lambda feed, a, b: feed.count()) == 1
+    pinned = stream.last_committed()
+    assert eng.table.consumer_snapshots() == {stream.consumer_id: pinned}
+
+    eng.run()  # consumer now lags two epochs behind
+    eng.table.expire_snapshots(keep_last=1)  # default: respect consumers
+    # pinned manifest survived; next poll is incremental from it
+    eng.table.read_snapshot_meta(pinned)
+    batch = stream.poll()
+    assert batch is not None and batch[0] == pinned
+    inc_rows = batch[2].count()
+    full_rows = eng.read_table().count()  # live rows (tombstones excluded)
+    assert 0 < inc_rows  # and the window is a real (non-full) feed
+    stream_state_before = stream.last_committed()
+
+    # force-expire past the consumer: loud full-feed fallback, no raise
+    eng.table.expire_snapshots(keep_last=1, respect_consumers=False)
+    with pytest.raises(FileNotFoundError):
+        eng.table.read_snapshot_meta(pinned)
+    with pytest.warns(UserWarning, match="expired; falling back to a FULL feed"):
+        batch = stream.poll()
+    assert batch is not None and batch[0] is None
+    assert batch[2].filter(F.col("change_type") == "insert").count() == full_rows
+    assert stream.last_committed() == stream_state_before  # poll never commits

@@ -344,3 +344,46 @@ def test_changes_hosts_plans_only_window_files(spark, tmp_path):
     snap_b = eng2.hosts.current_snapshot().snapshot_id
     empty = eng2.changes_hosts(snap_b, snap_b, stats_out=stats2)
     assert empty.count() == 0 and stats2["files_scanned"] == 0
+
+
+def test_vacuum_group_committed_member_survives_before_reconcile(spark, tmp_path):
+    """ADVICE r4: the group ledger is the commit point. After a crash
+    between the group-ledger commit and the member-ledger reconcile, a
+    member's own ledger has no entry for the group-committed snapshot —
+    MultiTableEngine.vacuum_orphans must still treat it as committed
+    (group-referenced ids are liveness roots) so the publish is never
+    reclaimed, and a follow-up engine init reconciles and reads it."""
+    import glob
+
+    from ethereum_etl_spark.plans.multi import InjectedCrash, MultiTableEngine
+
+    wal = str(tmp_path / "wal")
+    write_wal(gen_wal(spark, WalConfig(n_events=3_000, n_urls=400)), wal, n_files=2)
+    root = str(tmp_path / "multi")
+    eng = MultiTableEngine(
+        spark, wal, root, epoch_size=3_000, crash_points={"after_group_commit"}
+    )
+    try:
+        eng.run()
+    except InjectedCrash:
+        pass
+    # crash landed after the group commit, before reconcile: the group
+    # ledger references snapshots the member ledgers don't record yet
+    group = eng.group_entries()
+    assert group, "group commit must have landed before the crash"
+    sid = group[-1]["tables"]["pages"]
+    assert sid not in {e.get("snapshot_id") for e in eng.pages.read_ledger()}
+
+    # engine-mediated vacuum with zero grace: the group-committed
+    # snapshot and all its files survive
+    eng.vacuum_orphans(older_than_s=0)
+    eng.pages.read_snapshot_meta(sid)  # manifest still present
+    files = glob.glob(os.path.join(root, "pages", "data", "**", "*.parquet"),
+                      recursive=True)
+    assert files, "group-committed data files must survive the vacuum"
+
+    # a fresh engine reconciles the member ledgers and serves the epoch
+    eng2 = MultiTableEngine(spark, wal, root, epoch_size=3_000)
+    assert sid in {e.get("snapshot_id") for e in eng2.pages.read_ledger()}
+    assert eng2.read_pages().count() > 0
+    assert eng2.run() == []  # exactly-once: nothing left to apply
