@@ -49,10 +49,80 @@ def test_registered_domain(spark):
         ("deep.sub.example.co.za", "example.co.za"),
         # at/below the suffix: pass through (no registrable domain)
         ("co.uk", "co.uk"),
+        # 3-label exact suffixes (jp geographic)
+        ("www.x.pref.aichi.jp", "x.pref.aichi.jp"),
+        ("site.aisai.aichi.jp", "site.aisai.aichi.jp"),
+        ("www.site.aisai.aichi.jp", "site.aisai.aichi.jp"),
+        ("foo.aichi.jp", "foo.aichi.jp"),  # aichi.jp is itself a suffix
+        # wildcard rules: every label directly under the tail is a suffix
+        ("a.foo.bar.ck", "foo.bar.ck"),  # *.ck → bar.ck is the suffix
+        ("foo.bar.ck", "foo.bar.ck"),
+        ("bar.ck", "bar.ck"),  # IS a public suffix: pass through
+        ("x.y.example.kawasaki.jp", "y.example.kawasaki.jp"),
+        # exception rules beat the wildcard
+        ("www.ck", "www.ck"),  # !www.ck → registrable despite *.ck
+        ("sub.www.ck", "www.ck"),
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("www.city.kawasaki.jp", "city.kawasaki.jp"),
+        # deep (4-label) wildcard suffix from the private section
+        (
+            "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+            "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+        ),
+        (
+            "x.ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+            "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+        ),
+        ("me.github.io", "me.github.io"),
+        ("www.me.github.io", "me.github.io"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in rows], ["h"])
     got = [r["d"] for r in df.select(registered_domain("h").alias("d")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_registered_domain_full_psl_via_parser(spark):
+    """parse_psl loads publicsuffix.org file format (comments, blank
+    lines, exceptions, wildcards); the expression honors the parsed
+    rules and stays in codegen at full rule depth."""
+    from ethereum_etl_spark.functions.urlnorm import parse_psl
+
+    rules = parse_psl(
+        """
+        // ===BEGIN ICANN DOMAINS===
+        com
+        uk
+        co.uk
+
+        *.custom
+        !keep.custom
+        deep.three.label
+        // ===END ICANN DOMAINS===
+        """
+    )
+    rows = [
+        ("www.example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.custom", "a.b.custom"),  # *.custom: b.custom is a suffix
+        ("x.a.b.custom", "a.b.custom"),
+        ("keep.custom", "keep.custom"),  # exception: registrable itself
+        ("w.keep.custom", "keep.custom"),
+        ("site.deep.three.label", "site.deep.three.label"),
+        ("unknowntld", "unknowntld"),
+        ("x.unknowntld", "x.unknowntld"),  # default * rule
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], ["h"])
+    got = [
+        r["d"] for r in df.select(registered_domain("h", rules).alias("d")).collect()
+    ]
+    assert got == [want for _, want in rows]
+    plan = (
+        df.select(registered_domain("h", rules))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
 
 
 def test_host_extraction_strips_default_port_only(spark):
