@@ -20,6 +20,12 @@ local[N] and local[4N]. Method (details in BASELINE.md):
   INDEPENDENT (a fixed round count) and the best time per level is
   used, which only filters stall contamination. All raw times are
   reported.
+- **calibration-gated floor (round 5)**: the conservative cross-window
+  floor ratio admits only rounds whose interleaved memory-bandwidth
+  calibration (both legs) reached ≥0.85 of the campaign max — a
+  discard-with-report criterion computed from host-calibration data,
+  never from apply results; the unrestricted ratio and the admitted
+  round list are published alongside.
 - scratch lives on tmpfs: a single VM's virtio disk is serially
   bottlenecked and erratic, which models nothing about a cluster whose
   storage bandwidth scales with nodes.
@@ -43,7 +49,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "6000000"))
 CDC_URLS = int(os.environ.get("BENCH_CDC_URLS", "1200000"))
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "6"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "7"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))  # N vs 4N
 #: timed apply passes per pinned subprocess (see apply_once docstring)
 APPLY_PASSES = int(os.environ.get("BENCH_APPLY_PASSES", "2"))
@@ -312,14 +318,39 @@ def bench_cdc(scratch: str) -> dict:
     out[f"events_per_sec_n{lo}"] = round(thr[lo], 1)
     out[f"events_per_sec_n{hi}"] = round(thr[hi], 1)
     out["speedup_Nto4N"] = round(thr[hi] / thr[lo], 3)
-    # Floor ratio: global best-of per leg. On this shared-host VM the
-    # two global minima usually come from DIFFERENT host windows (same-
-    # binary quiet-host N-leg draws span 1.5x within one run —
-    # BASELINE.md round-3 item 4/6), so this ratio compares the engine
-    # under two different host states. Kept as the conservative
-    # secondary number; the recorded scaling_efficiency is the PAIRED
-    # measurement below.
-    out["scaling_efficiency_floor_ratio"] = round(thr[hi] / thr[lo] / (hi / lo), 3)
+    # Floor ratio: global best-of per leg, restricted to CALIBRATION-
+    # CLEAN rounds. On this shared-host VM the two global minima can
+    # come from DIFFERENT host windows (same-binary quiet-host N-leg
+    # draws span 1.5x within one run — BASELINE.md round-3 item 4/6);
+    # the r4 driver record paired a quiet-window n1 floor against an
+    # n4 leg that never drew a clean window, recording 0.746 while the
+    # engine's same-protocol campaigns recorded 0.819-0.897. The fix is
+    # DISCARD-WITH-REPORT (r4 verdict item 1): a round is admitted to
+    # the floor iff BOTH its legs' memory-bandwidth calibrations (the
+    # probe interleaved with the applies, measuring the host, not the
+    # engine) reach ≥0.85 of the campaign's per-width max — a
+    # result-INDEPENDENT criterion computed from calibration data
+    # alone. The unrestricted ratio is published alongside, with the
+    # discarded round list; every raw time remains above.
+    clean_rounds = [
+        r for r in range(ROUNDS)
+        if all(membw[c][r] >= 0.85 * max(membw[c]) for c in (lo, hi))
+    ] or list(range(ROUNDS))  # degenerate all-contended campaign: use all
+    best_clean = {
+        c: min(
+            t
+            for r in clean_rounds
+            for t in raw[c][r * APPLY_PASSES:(r + 1) * APPLY_PASSES]
+        )
+        for c in (lo, hi)
+    }
+    out["scaling_efficiency_floor_ratio"] = round(
+        best_clean[lo] / best_clean[hi] / (hi / lo), 3
+    )
+    out["floor_rounds_used"] = clean_rounds
+    out["scaling_efficiency_floor_ratio_all_rounds"] = round(
+        thr[hi] / thr[lo] / (hi / lo), 3
+    )
     # host-capacity context: the hypervisor's own per-core throughput at
     # each width, measured with a pure-python spin under the identical
     # cpu mask, interleaved with the apply runs. host_capacity_scaling =
@@ -376,7 +407,7 @@ def bench_cdc(scratch: str) -> dict:
     # best-of protocol as the N/4N pair instead of a single draw.
     t32s = [
         round(s, 2)
-        for r in range(2)
+        for r in range(1)
         for s in apply_run(CPUS, f"{CPUS}_x{r}")
     ]
     out[f"raw_apply_sec_n{CPUS}"] = t32s
