@@ -115,6 +115,241 @@ def decode_png_header(b: bytes | None) -> tuple[int, int] | None:
     return int(w), int(h)
 
 
+def encode_png_rgb(width: int, height: int, rgb: bytes) -> bytes:
+    """REAL PNG encoder from raw 8-bit RGB pixel bytes (row-major,
+    3 bytes/px) — filter 0 scanlines, one deflated IDAT, correct CRCs.
+    ``encode_png`` is the deterministic-pattern convenience wrapper;
+    this is the general pixels-in variant the resize stage re-encodes
+    through."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride:(y + 1) * stride] for y in range(height)
+    )
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+
+
+def decode_png_pixels(b: bytes | None) -> tuple[int, int, bytes] | None:
+    """REAL PNG pixel decode (pure stdlib: zlib + the five standard
+    scanline filters). Supports the 8-bit truecolor subset (color type
+    2, no interlace) — the shape this pipeline's encoders emit and the
+    overwhelmingly common case for generated/normalized corpora;
+    anything else returns None (palette/alpha/16-bit are metadata-only
+    here, not silently mis-decoded). Returns (width, height, rgb
+    bytes). Implements ALL filter types 0-4 (None/Sub/Up/Average/
+    Paeth) per the PNG spec, not just the filter-0 rows our own
+    encoder writes — asserted against hand-filtered fixtures in
+    tests."""
+    import struct
+    import zlib
+
+    if b is None or len(b) < 33 or bytes(b[:8]) != b"\x89PNG\r\n\x1a\n":
+        return None
+    b = bytes(b)
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,), typ = struct.unpack(">I", b[pos:pos + 4]), b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            return None
+        if typ == b"IHDR":
+            if length != 13:
+                return None
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                return None  # outside the supported subset
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if w is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return int(w), int(h), bytes(out)
+
+
+def decode_gif_pixels(b: bytes | None) -> tuple[int, int, bytes] | None:
+    """REAL GIF pixel decode (pure stdlib): general LZW decompression
+    (code-width growth, CLEAR/EOI handling, dictionary rebuild — not
+    just the CLEAR-per-code stream our encoder emits) of the first
+    image descriptor, mapped through the global color table to RGB.
+    Returns (width, height, rgb bytes); None for payloads outside the
+    supported subset (no GCT, interlaced, or local color tables)."""
+    if b is None or len(b) < 13:
+        return None
+    b = bytes(b)
+    if b[:6] not in (b"GIF89a", b"GIF87a"):
+        return None
+    import struct
+
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    if not flags & 0x80:
+        return None  # no global color table
+    gct_n = 2 << (flags & 0x07)
+    gct = b[pos:pos + 3 * gct_n]
+    pos += 3 * gct_n
+    # skip extensions to the image descriptor
+    while pos < len(b) and b[pos] == 0x21:
+        pos += 2
+        while pos < len(b) and b[pos] != 0:
+            pos += 1 + b[pos]
+        pos += 1
+    if pos >= len(b) or b[pos] != 0x2C:
+        return None
+    _x, _y, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1:pos + 10])
+    pos += 10
+    if iflags & 0xC0:
+        return None  # local color table / interlace unsupported
+    min_code = b[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(b) and b[pos] != 0:
+        n = b[pos]
+        data += b[pos + 1:pos + 1 + n]
+        pos += 1 + n
+    # general LZW decode
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    width_bits = min_code + 1
+    acc = nbits = 0
+    out = bytearray()
+    prev_code: int | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width_bits:
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            nbits -= width_bits
+            if code == clear:
+                table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+                width_bits = min_code + 1
+                prev_code = None
+                continue
+            if code == eoi:
+                prev_code = None
+                nbits = 0
+                break
+            if prev_code is None:
+                if code >= len(table):
+                    return None
+                out += table[code]
+            else:
+                if code < len(table) and table[code]:
+                    entry = table[code]
+                    table.append(table[prev_code] + entry[:1])
+                elif code == len(table):  # the KwKwK case
+                    entry = table[prev_code] + table[prev_code][:1]
+                    table.append(entry)
+                else:
+                    return None
+                out += entry
+            prev_code = code
+            if len(table) >= (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+    if len(out) < w * h:
+        return None
+    rgb = bytearray(w * h * 3)
+    for i in range(w * h):
+        idx = out[i]
+        if 3 * idx + 3 > len(gct):
+            return None
+        rgb[3 * i:3 * i + 3] = gct[3 * idx:3 * idx + 3]
+    return int(w), int(h), bytes(rgb)
+
+
+def decode_image_pixels(b: bytes | None) -> tuple[int, int, bytes] | None:
+    """Magic-byte dispatch to the real pixel decoders (PNG, GIF).
+    JPEG returns None: baseline Huffman/DCT entropy decode is the one
+    codec deliberately out of scope in this container (header decode
+    IS real — ``decode_jpeg_header``)."""
+    if b is None or len(b) < 6:
+        return None
+    b2 = bytes(b[:8])
+    if b2.startswith(b"\x89PNG"):
+        return decode_png_pixels(b)
+    if b2.startswith(b"GIF8"):
+        return decode_gif_pixels(b)
+    return None
+
+
+def resize_rgb_nearest(
+    width: int, height: int, rgb: bytes, max_px: int
+) -> tuple[int, int, bytes]:
+    """Nearest-neighbor downscale of raw RGB so the longer edge is at
+    most ``max_px`` (no-op when already within bounds). Pure
+    arithmetic, deterministic across platforms — the standard cheap
+    resize for training-data thumbnailing."""
+    scale = max(width, height) / max_px
+    if scale <= 1.0:
+        return width, height, rgb
+    nw, nh = max(1, int(width / scale)), max(1, int(height / scale))
+    out = bytearray(nw * nh * 3)
+    for y in range(nh):
+        sy = min(height - 1, int((y + 0.5) * height / nh))
+        row = sy * width * 3
+        for x in range(nw):
+            sx = min(width - 1, int((x + 0.5) * width / nw))
+            out[(y * nw + x) * 3:(y * nw + x) * 3 + 3] = rgb[
+                row + sx * 3:row + sx * 3 + 3
+            ]
+    return nw, nh, bytes(out)
+
+
 def encode_jpeg_shell(width: int, height: int, seed: int = 0) -> bytes:
     """Minimal REAL-STRUCTURE baseline JPEG (pure stdlib: struct).
 
@@ -318,15 +553,23 @@ def decode_wav_header(b: bytes | None) -> dict | None:
 
 
 def encode_avi(
-    n_frames: int, frame_interval_ms: int = 40, media_id: int = 0
+    n_frames: int,
+    frame_interval_ms: int = 40,
+    media_id: int = 0,
+    width: int = 16,
+    height: int = 12,
 ) -> bytes:
-    """Minimal REAL AVI container encoder (pure stdlib: struct).
+    """Minimal REAL AVI encoder (pure stdlib: struct) with REAL frames.
 
     RIFF 'AVI ' with a LIST hdrl holding an avih header (microseconds
-    per frame + total frames) and a LIST movi of '00db' frame chunks.
-    Frame payloads are deterministic opaque bytes (pixel codecs are not
-    in this container); the CONTAINER structure is spec-shaped and is
-    what ``demux_avi`` walks for real."""
+    per frame + total frames) and a LIST strl (strh 'vids'/'DIB ' +
+    strf BITMAPINFOHEADER carrying the true frame dimensions, 24 bpp
+    uncompressed), then a LIST movi of '00db' chunks. '00db' means
+    UNCOMPRESSED DIB per the AVI spec, and that is literally what the
+    frames are: bottom-up BGR rows with 4-byte-aligned stride,
+    deterministic pixels ``(media_id*7 + frame*13 + x*3 + y*5) % 256``
+    — so frame-sampling consumers can decode actual pixel content
+    (``decode_dib_frame``), not just count chunks."""
     import struct
 
     def chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -340,21 +583,78 @@ def encode_avi(
         n_frames,  # total frames
         0, 1, 0,
     ) + b"\x00" * 24
-    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    strh = (
+        b"vids" + b"DIB " + b"\x00" * 16
+        + struct.pack("<II", frame_interval_ms, 1000)  # scale/rate = fps
+        + b"\x00" * 16
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, _dib_stride(width) * height, 0, 0, 0, 0,
+    )
+    hdrl = chunk(
+        b"LIST",
+        b"hdrl"
+        + chunk(b"avih", avih)
+        + chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
     frames = b"".join(
-        chunk(b"00db", f"FRAME:{media_id}:{i}:".encode() + bytes((media_id * 7 + i * 13 + k) % 256 for k in range(48)))
+        chunk(b"00db", _encode_dib_frame(width, height, media_id, i))
         for i in range(n_frames)
     )
     movi = chunk(b"LIST", b"movi" + frames)
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+def _dib_stride(width: int) -> int:
+    return (width * 3 + 3) & ~3  # BGR rows padded to 4 bytes per DIB spec
+
+
+def _encode_dib_frame(width: int, height: int, media_id: int, frame: int) -> bytes:
+    stride = _dib_stride(width)
+    out = bytearray(stride * height)
+    for y in range(height):
+        row = (height - 1 - y) * stride  # bottom-up storage
+        for x in range(width):
+            v = media_id * 7 + frame * 13 + x * 3 + y * 5
+            out[row + 3 * x] = (v + 2) % 256  # B
+            out[row + 3 * x + 1] = (v + 1) % 256  # G
+            out[row + 3 * x + 2] = v % 256  # R
+    return bytes(out)
+
+
+def decode_dib_frame(
+    frame: bytes | None, width: int, height: int
+) -> bytes | None:
+    """REAL uncompressed-DIB frame decode: bottom-up 24-bpp BGR rows
+    (stride padded to 4) → top-down RGB bytes. None when the payload
+    doesn't have the declared geometry."""
+    if frame is None:
+        return None
+    frame = bytes(frame)
+    stride = _dib_stride(width)
+    if len(frame) < stride * height:
+        return None
+    rgb = bytearray(width * height * 3)
+    for y in range(height):
+        row = (height - 1 - y) * stride
+        for x in range(width):
+            o = (y * width + x) * 3
+            rgb[o] = frame[row + 3 * x + 2]
+            rgb[o + 1] = frame[row + 3 * x + 1]
+            rgb[o + 2] = frame[row + 3 * x]
+    return bytes(rgb)
+
+
 def demux_avi(b: bytes | None) -> dict | None:
     """REAL AVI container demux (pure stdlib): validates RIFF/'AVI '
     magic, parses the avih header (frame interval, declared frame
-    count), walks the movi LIST and extracts every '00db'/'00dc' frame
-    chunk's bytes. Returns {frame_interval_ms, n_frames, frames,
-    duration_ms}; None if the payload is not a well-formed AVI."""
+    count), the strl LIST's strf BITMAPINFOHEADER when present (true
+    frame width/height/bpp), walks the movi LIST and extracts every
+    '00db'/'00dc' frame chunk's bytes. Returns {frame_interval_ms,
+    n_frames, frames, duration_ms, width, height, bpp} (geometry keys
+    None for containers without a strf — older encodings stay
+    readable); None if the payload is not a well-formed AVI."""
     import struct
 
     if b is None or len(b) < 24:
@@ -364,10 +664,11 @@ def demux_avi(b: bytes | None) -> dict | None:
         return None
     interval_us = None
     declared_frames = None
+    width = height = bpp = None
     frames: list[bytes] = []
 
     def walk(buf: bytes) -> None:
-        nonlocal interval_us, declared_frames
+        nonlocal interval_us, declared_frames, width, height, bpp
         pos = 0
         while pos + 8 <= len(buf):
             fourcc = buf[pos : pos + 4]
@@ -380,6 +681,9 @@ def demux_avi(b: bytes | None) -> dict | None:
             elif fourcc == b"avih" and length >= 32:
                 vals = struct.unpack("<IIIIIIII", body[:32])
                 interval_us, declared_frames = vals[0], vals[4]
+            elif fourcc == b"strf" and length >= 16 and width is None:
+                _sz, w, h, _planes, bits = struct.unpack("<IiiHH", body[:16])
+                width, height, bpp = int(w), abs(int(h)), int(bits)
             elif fourcc in (b"00db", b"00dc"):
                 frames.append(body)
             pos += 8 + length + (length & 1)
@@ -393,6 +697,9 @@ def demux_avi(b: bytes | None) -> dict | None:
         "n_frames": len(frames),
         "frames": frames,
         "duration_ms": len(frames) * interval_ms,
+        "width": width,
+        "height": height,
+        "bpp": bpp,
     }
 
 
@@ -468,6 +775,41 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [round(b / 255.0, 6) for b in h[:dim]]
 
 
+def _pixel_feature(width: int, height: int, rgb: bytes, dim: int = 8) -> list[float]:
+    """REAL content-derived image feature from decoded pixels: channel
+    means, luma mean/min/max/std, aspect ratio, fill — deterministic
+    integer arithmetic until the final division, so the vector is
+    bit-stable across platforms. A stand-in shaped like a tiny
+    embedding; swap in a model for production."""
+    n = width * height
+    sr = sg = sb = 0
+    lmin, lmax, ls, ls2 = 255 * 1000, 0, 0, 0
+    for i in range(n):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        sr += r
+        sg += g
+        sb += b
+        # integer luma (Rec.601 x1000)
+        luma = 299 * r + 587 * g + 114 * b
+        ls += luma
+        ls2 += luma * luma
+        lmin = luma if luma < lmin else lmin
+        lmax = luma if luma > lmax else lmax
+    mean_l = ls / n / 255000.0
+    var_l = max(0.0, ls2 / n - (ls / n) ** 2) / (255000.0**2)
+    feats = [
+        round(sr / n / 255.0, 6),
+        round(sg / n / 255.0, 6),
+        round(sb / n / 255.0, 6),
+        round(mean_l, 6),
+        round(lmin / 255000.0, 6),
+        round(lmax / 255000.0, 6),
+        round(var_l**0.5, 6),
+        round(width / max(height, 1), 6),
+    ]
+    return feats[:dim] + [0.0] * max(0, dim - len(feats))
+
+
 def image_features(df: DataFrame, strict: bool = False, feature_dim: int = 8) -> DataFrame:
     """decode + feature-extract stage: media rows → per-image features.
 
@@ -492,6 +834,16 @@ def image_features(df: DataFrame, strict: bool = False, feature_dim: int = 8) ->
                 )
             return _fake_decode_dims(bytes(b))
 
+        def feature_of(b):
+            if b is None:
+                return None
+            px = decode_image_pixels(bytes(b))
+            if px is None:
+                # JPEG (header-only decode): content feature unavailable,
+                # deterministic fake keeps the plumbing testable
+                return _fake_feature(bytes(b), feature_dim)
+            return _pixel_feature(px[0], px[1], px[2], feature_dim)
+
         for pdf in it:
             payloads = pdf["payload"]
             dims = payloads.map(dims_of)
@@ -505,9 +857,7 @@ def image_features(df: DataFrame, strict: bool = False, feature_dim: int = 8) ->
                     ),
                     "width": dims.map(lambda d: d[0]),
                     "height": dims.map(lambda d: d[1]),
-                    "feature": payloads.map(
-                        lambda b: _fake_feature(bytes(b), feature_dim) if b is not None else None
-                    ),
+                    "feature": payloads.map(feature_of),
                 }
             )
 
@@ -561,19 +911,101 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> 
     return df.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
-def resize_images(df: DataFrame, max_px: int = 256, strict: bool = False) -> DataFrame:
-    """resize stage: payload → payload (STUB: truncated-hash bytes)."""
+FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def video_frame_stats(
+    df: DataFrame, every_ms: int = 1000, strict: bool = False
+) -> DataFrame:
+    """video pixel stage, REAL end-to-end for AVI/DIB: demux the
+    container (avih grid + strf geometry), seek each ``k*every_ms``
+    grid timestamp to its native frame, DECODE THE FRAME PIXELS
+    (uncompressed 24-bpp DIB — what '00db' means) and emit per-frame
+    channel means. Containers without strf geometry or with
+    non-24-bpp frames raise under ``strict=True`` and are skipped
+    otherwise (no fake rows in a stats stage)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError("image decoder not available in this container")
+        cols = [
+            "media_id", "frame_idx", "frame_ts_ms", "width", "height",
+            "mean_r", "mean_g", "mean_b",
+        ]
         for pdf in it:
+            rows = []
+            for mid, pay in zip(pdf["media_id"], pdf["payload"]):
+                if pay is None:
+                    continue
+                avi = demux_avi(bytes(pay))
+                ok = avi is not None and avi["width"] and avi["bpp"] == 24
+                if not ok:
+                    if strict:
+                        raise NotImplementedError(
+                            "pixel decode needs an AVI with a 24-bpp strf header"
+                        )
+                    continue
+                w, h = avi["width"], avi["height"]
+                for i, ts in enumerate(range(0, int(avi["duration_ms"]), every_ms)):
+                    native = avi["frames"][
+                        min(ts // avi["frame_interval_ms"], avi["n_frames"] - 1)
+                    ]
+                    rgb = decode_dib_frame(native, w, h)
+                    if rgb is None:
+                        if strict:
+                            raise NotImplementedError("frame geometry mismatch")
+                        continue
+                    n = w * h
+                    rows.append({
+                        "media_id": mid, "frame_idx": i, "frame_ts_ms": ts,
+                        "width": w, "height": h,
+                        "mean_r": sum(rgb[0::3]) / n / 255.0,
+                        "mean_g": sum(rgb[1::3]) / n / 255.0,
+                        "mean_b": sum(rgb[2::3]) / n / 255.0,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_STATS_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_px: int = 256, strict: bool = False) -> DataFrame:
+    """resize stage: payload → payload, REAL for PNG and GIF inputs —
+    pixel decode (``decode_image_pixels``: full filter set / general
+    LZW), nearest-neighbor downscale to ``max_px`` on the longer edge,
+    re-encode as PNG (the normalize-to-one-format convention resize
+    pipelines use; ``mime``/``meta`` updated accordingly). JPEG inputs
+    are the one remaining honest stub (entropy decode is out of scope
+    in this container): ``strict=True`` raises, otherwise they pass
+    through with a deterministic truncated-hash payload, clearly
+    marked ``mime='application/x-fake-resize'``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = list(pdf["payload"])
+            mimes = list(pdf["mime"])
+            metas = list(pdf["meta"])
+            for i, b in enumerate(payloads):
+                if b is None:
+                    continue
+                px = decode_image_pixels(bytes(b))
+                if px is not None:
+                    nw, nh, rgb = resize_rgb_nearest(px[0], px[1], px[2], max_px)
+                    payloads[i] = encode_png_rgb(nw, nh, rgb)
+                    mimes[i] = "image/png"
+                    m = dict(metas[i]) if metas[i] is not None else {}
+                    m["width"], m["height"] = nw, nh
+                    metas[i] = m
+                elif strict:
+                    raise NotImplementedError(
+                        "pixel decode available for PNG/GIF only (JPEG entropy "
+                        "decode is out of scope in this container)"
+                    )
+                else:
+                    payloads[i] = hashlib.sha256(bytes(b)).digest() * (max_px // 16)
+                    mimes[i] = "application/x-fake-resize"
             out = pdf.copy()
-            out["payload"] = out["payload"].map(
-                lambda b: hashlib.sha256(bytes(b)).digest() * (max_px // 16)
-                if b is not None
-                else None
-            )
+            out["payload"], out["mime"], out["meta"] = payloads, mimes, metas
             yield out
 
     return df.filter(F.col("kind") == "image").mapInPandas(batches, MEDIA_SCHEMA)
@@ -658,6 +1090,7 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                     nf = max(1, (1000 + (mid * 37) % 10000) // 40)
                     payloads[i] = encode_avi(nf, frame_interval_ms=40, media_id=mid)
                     m["duration_ms"] = nf * 40
+                    m["width"], m["height"] = 16, 12  # true strf geometry
                 metas[i] = m
             pdf = pdf.copy()
             pdf["payload"], pdf["meta"] = payloads, metas

@@ -107,13 +107,27 @@ def test_avi_container_roundtrip():
     interval, count, and every frame's exact bytes; non-AVI rejected."""
     from ethereum_etl_spark.functions.multimodal import demux_avi, encode_avi
 
+    from ethereum_etl_spark.functions.multimodal import (
+        _encode_dib_frame,
+        decode_dib_frame,
+    )
+
     b = encode_avi(7, frame_interval_ms=40, media_id=5)
     avi = demux_avi(b)
     assert avi["n_frames"] == 7
     assert avi["frame_interval_ms"] == 40
     assert avi["duration_ms"] == 280
     assert len(avi["frames"]) == 7
-    assert avi["frames"][3].startswith(b"FRAME:5:3:")
+    # strf geometry is parsed from the container, not assumed
+    assert (avi["width"], avi["height"], avi["bpp"]) == (16, 12, 24)
+    # frames are REAL uncompressed DIBs: chunk bytes round the encoder,
+    # and pixel decode recovers the deterministic RGB formula
+    assert avi["frames"][3] == _encode_dib_frame(16, 12, 5, 3)
+    rgb = decode_dib_frame(avi["frames"][3], 16, 12)
+    for (x, y) in [(0, 0), (15, 0), (7, 11)]:
+        v = 5 * 7 + 3 * 13 + x * 3 + y * 5
+        o = (y * 16 + x) * 3
+        assert rgb[o:o + 3] == bytes(((v) % 256, (v + 1) % 256, (v + 2) % 256))
     assert demux_avi(b"RIFF\x00\x00\x00\x00WAVE" + b[12:]) is None
     assert demux_avi(None) is None
 
@@ -146,6 +160,8 @@ def test_sample_frames_real_demux(spark):
     """sample_frames pulls NATIVE frame bytes out of the real AVI
     container: the frame at grid ts must be the movi chunk at
     ts // interval."""
+    from ethereum_etl_spark.functions.multimodal import _encode_dib_frame
+
     media = gen_media(spark, n=30)
     frames = {
         (r["media_id"], r["frame_ts_ms"]): bytes(r["frame_bytes"])
@@ -154,7 +170,7 @@ def test_sample_frames_real_demux(spark):
     assert frames
     for (mid, ts), fb in frames.items():
         native_idx = ts // 40
-        assert fb.startswith(f"FRAME:{mid}:{native_idx}:".encode())
+        assert fb == _encode_dib_frame(16, 12, mid, native_idx)
 
 
 def test_media_pipeline_plumbing(spark):
