@@ -21,9 +21,11 @@ local[N] and local[4N]. Method (details in BASELINE.md):
   used, which only filters stall contamination. All raw times are
   reported.
 - **calibration-gated floor (round 5)**: the conservative cross-window
-  floor ratio admits only rounds whose interleaved memory-bandwidth
-  calibration (both legs) reached ≥0.85 of the campaign max — a
-  discard-with-report criterion computed from host-calibration data,
+  floor ratio admits only rounds whose memory-bandwidth calibrations
+  — sampled BOTH before and after each leg's applies, gated on the
+  min of the pair so a mid-round contention burst can't hide behind
+  one quiet sample — reached ≥0.85 of the campaign max on both legs;
+  a discard-with-report criterion computed from host-calibration data,
   never from apply results; the unrestricted ratio and the admitted
   round list are published alongside.
 - scratch lives on tmpfs: a single VM's virtio disk is serially
@@ -304,12 +306,25 @@ def bench_cdc(scratch: str) -> dict:
     lo, hi = SCALE_N, SCALE_N * 4
     raw: dict[int, list[float]] = {lo: [], hi: []}
     spin: dict[int, list[float]] = {lo: [], hi: []}
-    membw: dict[int, list[float]] = {lo: [], hi: []}
+    membw_pre: dict[int, list[float]] = {lo: [], hi: []}
+    membw_post: dict[int, list[float]] = {lo: [], hi: []}
     for r in range(ROUNDS):
         for cores in (lo, hi):
+            # bracket each leg with a bandwidth calibration: a single
+            # post-hoc sample can read quiet even when a contention
+            # burst crushed the applies minutes earlier (observed: a
+            # round with 337s/100s n4 draws calibrated at the campaign
+            # max afterwards). The gate below takes the per-leg MIN of
+            # the two samples, so a leg counts as clean only when the
+            # host was quiet on both sides of its applies.
+            membw_pre[cores].append(round(calibrate_membw(cores), 1))
             raw[cores].extend(round(s, 2) for s in apply_run(cores, f"{cores}_{r}"))
             spin[cores].append(round(calibrate(cores), 1))
-            membw[cores].append(round(calibrate_membw(cores), 1))
+            membw_post[cores].append(round(calibrate_membw(cores), 1))
+    membw: dict[int, list[float]] = {
+        c: [min(a, b) for a, b in zip(membw_pre[c], membw_post[c])]
+        for c in (lo, hi)
+    }
     best = {c: min(ts) for c, ts in raw.items()}
     thr = {c: CDC_EVENTS / best[c] for c in best}
     out["raw_apply_sec"] = {str(c): raw[c] for c in raw}
@@ -367,6 +382,8 @@ def bench_cdc(scratch: str) -> dict:
     # Informational, same posture as the spin row.
     bw = {c: max(v) for c, v in membw.items()}
     out["host_membw_per_core"] = {str(c): membw[c] for c in membw}
+    out["host_membw_per_core_pre"] = {str(c): membw_pre[c] for c in membw_pre}
+    out["host_membw_per_core_post"] = {str(c): membw_post[c] for c in membw_post}
     out["host_membw_scaling"] = round(bw[hi] / bw[lo], 3)
     # THE RECORDED NUMBER — same-window pairing: each round's (N, 4N)
     # legs execute back-to-back inside one host window, so each
